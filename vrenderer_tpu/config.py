@@ -1,0 +1,174 @@
+"""Configuration for the TPU terrain renderer.
+
+Mirrors the reference's three config tiers (SURVEY.md §5.6):
+compile-time ``TerrainSettings`` (reference: TerrainPass.h:23-30),
+runtime-UI ``EditorParams`` (reference: Renderer.h:34-48) and per-pass
+``RenderParams`` (reference: TerrainPass.h:62-73). Here the compile-time
+tier becomes static (hashable) dataclasses baked into jit closures, and
+the runtime tier becomes traced jit arguments so tweaking them does not
+recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TerrainSettings:
+    """Static terrain configuration.
+
+    Reference: TerrainPass.h:23-30 ``TerrainSettings`` enum
+    (MAX_INSTANCES=4096, SURFACE_SIZE=2048, WORLD_SIZE=2048, GRID_SIZE=32)
+    and QuadTree.h:67 (MAX_LODS=12).
+    """
+
+    max_instances: int = 1024
+    surface_size: int = 2048
+    world_size: int = 2048
+    grid_size: int = 32
+    max_lods: int = 12
+    # Selection window halfwidth in nodes per LOD level. The CDLOD ranges
+    # are exactly 4 node-widths at every level (QuadTree.cpp:234-241 with
+    # node width halving per level), so a 16-node window always covers the
+    # reachable set; see terrain/quadtree.py.
+    select_window: int = 16
+
+    def __post_init__(self):
+        # Mirrors the reference's static_assert (TerrainPass.h:30).
+        assert self.world_size % self.surface_size == 0, (
+            "WORLD_SIZE must be a multiple of SURFACE_SIZE"
+        )
+        assert self.grid_size & (self.grid_size - 1) == 0, (
+            "GRID_SIZE must be a power of two"
+        )
+
+    @property
+    def num_surfaces_per_side(self) -> int:
+        return self.world_size // self.surface_size
+
+    @property
+    def num_lods(self) -> int:
+        """numLods = min(MAX_LODS-1, log2(surface width)); QuadTree.cpp:22."""
+        import math
+
+        return min(self.max_lods - 1, int(math.log2(self.surface_size)))
+
+    @property
+    def verts_per_side(self) -> int:
+        return self.grid_size + 1
+
+    @property
+    def tris_per_instance(self) -> int:
+        return self.grid_size * self.grid_size * 2
+
+    def lod_ranges(self) -> jnp.ndarray:
+        """LOD visibility ranges, range[i] = 4 * 2^i (QuadTree.cpp:234-241)."""
+        i = jnp.arange(self.max_lods, dtype=jnp.float32)
+        return 4.0 * jnp.exp2(i)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterSettings:
+    """Static rasterizer configuration (no reference analog: the reference
+    gets rasterization from GPU hardware behind drawIndexed,
+    TerrainPass.cpp:222)."""
+
+    # Supertile size in pixels. Each supertile owns a VMEM-resident
+    # z/id/attribute tile while instances binned to it are rasterized.
+    tile_h: int = 128
+    tile_w: int = 128
+    # Fine evaluation window inside a supertile: (8, 128) is the native
+    # f32 VPU tile. Triangle batches are tested against these subtiles.
+    subtile_h: int = 8
+    # Max instances binned per supertile (overflow drops + reports, like
+    # the reference's MAX_INSTANCES assert, TerrainPass.cpp:238).
+    bin_cap: int = 32
+    # Triangle batch size for [batch x pixels] edge evaluation.
+    tri_batch: int = 128
+    # Interpolated vertex-attribute channels (albedo3, normal3, shadow,
+    # height).
+    attr_channels: int = 8
+    # Reverse-z depth convention flag (reference PipelineKey bit,
+    # TerrainPass.h:40, TerrainPass.cpp:478-482).
+    reverse_z: bool = False
+    # Wireframe fill mode (reference: RasterFillMode::Wireframe,
+    # TerrainPass.cpp:311).
+    wireframe: bool = False
+
+
+@dataclasses.dataclass
+class EditorParams:
+    """Per-frame tweakable render state; traced jit arguments.
+
+    Reference: Renderer.h:34-48 ``EditorParams`` (terrain on/off, wireframe,
+    lock view, maxHeight=400, ambient 0.01, quadtree debug).
+    """
+
+    render_terrain: bool = True
+    wireframe: bool = False
+    lock_view: bool = False
+    debug_quadtree: bool = False
+    max_height: float = 400.0
+    ambient_intensity: float = 0.01
+    # Populated by the renderer each frame (reference: m_NumChunks,
+    # TerrainPass.cpp:198).
+    num_chunks: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderParams:
+    """Per-pass params (reference: TerrainPass::RenderParams,
+    TerrainPass.h:62-73)."""
+
+    wireframe: bool = False
+    lock_view: bool = False
+    depth_only: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameConfig:
+    """Static whole-frame configuration: resolution + sub-configs."""
+
+    width: int = 1920
+    height: int = 1080
+    terrain: TerrainSettings = dataclasses.field(default_factory=TerrainSettings)
+    raster: RasterSettings = dataclasses.field(default_factory=RasterSettings)
+    # Camera projection; reference: Renderer.cpp:315
+    # (perspProjD3DStyle(60deg, aspect, 0.1, 10000)).
+    vfov_degrees: float = 60.0
+    z_near: float = 0.1
+    z_far: float = 10000.0
+    # Shadow map resolution (reference: Renderer.cpp:83, 2048, 1 cascade).
+    shadow_resolution: int = 2048
+    # Horizon-map shadow field resolution (the TPU-native replacement for
+    # per-pixel shadow-map sampling; see ops/shadow.py).
+    horizon_resolution: int = 512
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+    @property
+    def padded_width(self) -> int:
+        t = self.raster.tile_w
+        return (self.width + t - 1) // t * t
+
+    @property
+    def padded_height(self) -> int:
+        t = self.raster.tile_h
+        return (self.height + t - 1) // t * t
+
+
+@dataclasses.dataclass(frozen=True)
+class LightParams:
+    """Directional light; reference defaults from Renderer.cpp:135-142
+    (angularSize 0.53 deg, irradiance 1.0, direction (-0.9,-0.25,0.35))."""
+
+    direction: Tuple[float, float, float] = (-0.9, -0.25, 0.35)
+    irradiance: float = 1.0
+    angular_size_degrees: float = 0.53
+    color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
