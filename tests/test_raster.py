@@ -1,0 +1,214 @@
+"""Rasterizer tests: coverage against a numpy scanline oracle, depth
+ordering, perspective-correct interpolation, and tie determinism."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vrenderer_tpu.ops import raster
+
+
+IDENT = jnp.eye(4, dtype=jnp.float32)  # clip = world (ndc passthrough)
+W, H = 32, 16
+TILE = (8, 16)
+
+
+def _setup_from_ndc(tris_ndc, attrs=None):
+    """tris_ndc: (N, 3, 3) ndc vertices (x, y, z); w = 1. Builds TriSetup
+    via the real pipeline with an identity world->clip."""
+    tris_ndc = np.asarray(tris_ndc, np.float32)
+    n = tris_ndc.shape[0]
+    if attrs is None:
+        attrs = np.zeros((n, 3, 1), np.float32)
+    attrs = np.asarray(attrs, np.float32)
+    A = attrs.shape[-1]
+    # pack as (I=n, S=2, S=2, ...) lattices of 4 verts; tri uses verts 0,1,2
+    world = np.zeros((n, 2, 2, 3), np.float32)
+    vat = np.zeros((n, 2, 2, A), np.float32)
+    world.reshape(n, 4, 3)[:, :3] = tris_ndc
+    vat.reshape(n, 4, A)[:, :3] = attrs
+    tri_idx = jnp.asarray([[0, 1, 2]], jnp.int32)
+    return raster.setup_triangles(
+        jnp.asarray(world), jnp.asarray(vat), jnp.ones((n,), bool),
+        tri_idx, IDENT, W, H,
+    )
+
+
+def _oracle_coverage(tri_ndc):
+    """Pixel-center coverage with the module's convention: y-down screen,
+    inside = all edges >= 0, CW-front only."""
+    p = np.asarray(
+        [
+            [(v[0] * 0.5 + 0.5) * W, (0.5 - v[1] * 0.5) * H]
+            for v in tri_ndc
+        ]
+    )
+    area2 = (p[1, 0] - p[0, 0]) * (p[2, 1] - p[0, 1]) - (p[2, 0] - p[0, 0]) * (
+        p[1, 1] - p[0, 1]
+    )
+    cov = np.zeros((H, W), bool)
+    if area2 <= 0:
+        return cov
+    for yy in range(H):
+        for xx in range(W):
+            q = np.array([xx + 0.5, yy + 0.5])
+            ok = True
+            for i in range(3):
+                a, b = p[(i + 1) % 3], p[(i + 2) % 3]
+                e = (a[1] - b[1]) * q[0] + (b[0] - a[0]) * q[1] + (
+                    b[1] * a[0] - b[0] * a[1]
+                )
+                if e < 0:
+                    ok = False
+            cov[yy, xx] = ok
+    return cov
+
+
+def test_single_triangle_coverage_matches_oracle():
+    tri = [[-0.5, -0.5, 0.5], [0.0, 0.8, 0.5], [0.7, -0.2, 0.5]]
+    # make it front-facing (CW in pixel space); try both orders, one survives
+    for order in ([0, 1, 2], [0, 2, 1]):
+        t = [tri[i] for i in order]
+        s = _setup_from_ndc([t])
+        if bool(s.valid[0]):
+            z, idb, _ = raster.rasterize_xla(s, W, H, tile=TILE, batch=8)
+            got = np.asarray(idb) >= 0
+            expect = _oracle_coverage(t)
+            np.testing.assert_array_equal(got, expect)
+            assert expect.sum() > 10
+            return
+    raise AssertionError("neither winding passed the front-face test")
+
+
+def test_backface_is_culled():
+    tri = [[-0.5, -0.5, 0.5], [0.0, 0.8, 0.5], [0.7, -0.2, 0.5]]
+    s01 = _setup_from_ndc([tri])
+    s10 = _setup_from_ndc([[tri[0], tri[2], tri[1]]])
+    assert bool(s01.valid[0]) != bool(s10.valid[0])
+
+
+def test_depth_test_nearer_triangle_wins():
+    big_far = [[-0.9, -0.9, 0.8], [0.0, 0.9, 0.8], [0.9, -0.9, 0.8]]
+    small_near = [[-0.4, -0.4, 0.2], [0.0, 0.4, 0.2], [0.4, -0.4, 0.2]]
+
+    def orient(t):
+        s = _setup_from_ndc([t])
+        return t if bool(s.valid[0]) else [t[0], t[2], t[1]]
+
+    tris = [orient(big_far), orient(small_near)]
+    s = _setup_from_ndc(tris)
+    z, idb, _ = raster.rasterize_xla(s, W, H, tile=TILE, batch=8)
+    idb = np.asarray(idb)
+    center = idb[H // 2, W // 2]
+    assert center == 1  # near triangle id
+    assert (idb == 0).sum() > 0  # far triangle visible around it
+    zc = np.asarray(z)[H // 2, W // 2]
+    np.testing.assert_allclose(zc, 0.2, atol=1e-5)
+
+
+def test_reverse_z_flips_depth_winner():
+    big = [[-0.9, -0.9, 0.8], [0.0, 0.9, 0.8], [0.9, -0.9, 0.8]]
+    small = [[-0.4, -0.4, 0.2], [0.0, 0.4, 0.2], [0.4, -0.4, 0.2]]
+
+    def orient(t):
+        s = _setup_from_ndc([t])
+        return t if bool(s.valid[0]) else [t[0], t[2], t[1]]
+
+    s = _setup_from_ndc([orient(big), orient(small)])
+    _, idb, _ = raster.rasterize_xla(s, W, H, tile=TILE, batch=8, reverse_z=True)
+    # reverse-z: GreaterOrEqual wins -> the z=0.8 triangle occludes
+    assert np.asarray(idb)[H // 2, W // 2] == 0
+
+
+def test_attribute_interpolation_affine_quantity():
+    # attr = ndc x at each vertex; with w == 1 everywhere the interpolated
+    # attribute must equal the pixel's ndc x
+    tri = [[-0.9, -0.9, 0.5], [0.0, 0.9, 0.5], [0.9, -0.9, 0.5]]
+
+    def orient(t):
+        s = _setup_from_ndc([t])
+        return t if bool(s.valid[0]) else [t[0], t[2], t[1]]
+
+    t = orient(tri)
+    attrs = np.asarray(t, np.float32)[None, :, 0:1]  # x coordinate
+    s = _setup_from_ndc([t], attrs)
+    _, idb, out = raster.rasterize_xla(s, W, H, tile=TILE, batch=8)
+    idb = np.asarray(idb)
+    out = np.asarray(out[..., 0])
+    ys, xs = np.nonzero(idb >= 0)
+    ndc_x = (xs + 0.5) / W * 2.0 - 1.0
+    np.testing.assert_allclose(out[ys, xs], ndc_x, atol=1e-4)
+
+
+def test_perspective_correct_interpolation():
+    """Verts at different w: interpolation must be rational (attr/w over
+    1/w), not affine. Build clip coords manually through a crafted
+    'world_to_clip' that scales xy by w: world (x*w, y*w, z*w) with last
+    row w -> emulate by passing world = clip already divided? Instead:
+    use a projection-like matrix: clip = (x, y, z, z) by matrix with
+    col3 = z."""
+    m = jnp.asarray(
+        np.array(
+            [
+                [1, 0, 0, 0],
+                [0, 1, 0, 0],
+                [0, 0, 1, 1],
+                [0, 0, 0, 0],
+            ],
+            np.float32,
+        )
+    )
+    # world verts with z = w: vertex A at w=1, B at w=4 (xy pre-multiplied)
+    world = np.zeros((1, 2, 2, 3), np.float32)
+    tri = np.array(
+        [
+            [-0.9, -0.9, 1.0],
+            [0.0 * 4, 0.9 * 4, 4.0],
+            [0.9, -0.9, 1.0],
+        ],
+        np.float32,
+    )
+    world.reshape(4, 3)[:3] = tri
+    attrs = np.zeros((1, 2, 2, 1), np.float32)
+    attrs.reshape(4, 1)[:3, 0] = [0.0, 3.0, 0.0]
+    s = raster.setup_triangles(
+        jnp.asarray(world), jnp.asarray(attrs), jnp.ones((1,), bool),
+        jnp.asarray([[0, 1, 2]], jnp.int32), m, W, H,
+    )
+    if not bool(s.valid[0]):
+        world.reshape(4, 3)[:3] = tri[[0, 2, 1]]
+        attrs.reshape(4, 1)[:3, 0] = [0.0, 0.0, 3.0]
+        s = raster.setup_triangles(
+            jnp.asarray(world), jnp.asarray(attrs), jnp.ones((1,), bool),
+            jnp.asarray([[0, 1, 2]], jnp.int32), m, W, H,
+        )
+    assert bool(s.valid[0])
+    _, idb, out = raster.rasterize_xla(s, W, H, tile=TILE, batch=8)
+    idb = np.asarray(idb)
+    out = np.asarray(out[..., 0])
+    # screen midpoint between the w=1 edge and the w=4 apex: perspective
+    # pulls the attribute value below the affine midpoint 1.5
+    ys, xs = np.nonzero(idb >= 0)
+    assert len(ys) > 0
+    vals = out[ys, xs]
+    assert np.all(vals >= -1e-4) and np.all(vals <= 3.0 + 1e-4)
+    # strict check at one analytic point: the screen-space midpoint of the
+    # vertical center line: ndc y mid of (-0.9, 0.9) = 0; perspective-correct
+    # attr there = (0/1 + 3/4)/(1/1·0.5.. ) — compute via 1/w interpolation:
+    # at screen-bary (0.5 apex, 0.5 base-center): attr/w = 0.5*(3/4),
+    # 1/w = 0.5*(1/1) + 0.5*(1/4) -> attr = (0.375)/(0.625) = 0.6
+    yy = int((0.5 - 0.0 * 0.5) * H)  # ndc y=0 row
+    xx = W // 2
+    if idb[yy, xx] >= 0:
+        np.testing.assert_allclose(out[yy, xx], 0.6, atol=0.08)
+
+
+def test_invalid_instances_produce_no_fragments():
+    tri = [[-0.5, -0.5, 0.5], [0.0, 0.8, 0.5], [0.7, -0.2, 0.5]]
+    for t in ([tri[0], tri[1], tri[2]], [tri[0], tri[2], tri[1]]):
+        world = np.zeros((1, 2, 2, 3), np.float32)
+        world.reshape(4, 3)[:3] = np.asarray(t)
+        s = raster.setup_triangles(
+            jnp.asarray(world), jnp.zeros((1, 2, 2, 1)), jnp.zeros((1,), bool),
+            jnp.asarray([[0, 1, 2]], jnp.int32), IDENT, W, H,
+        )
+        assert not bool(s.valid[0])
