@@ -46,7 +46,7 @@ def _oracle_coverage(tri_ndc):
         p[1, 1] - p[0, 1]
     )
     cov = np.zeros((H, W), bool)
-    if area2 <= 0:
+    if area2 >= 0:  # front faces are CCW in y-down pixel space
         return cov
     for yy in range(H):
         for xx in range(W):
@@ -54,8 +54,8 @@ def _oracle_coverage(tri_ndc):
             ok = True
             for i in range(3):
                 a, b = p[(i + 1) % 3], p[(i + 2) % 3]
-                e = (a[1] - b[1]) * q[0] + (b[0] - a[0]) * q[1] + (
-                    b[1] * a[0] - b[0] * a[1]
+                e = (b[1] - a[1]) * q[0] + (a[0] - b[0]) * q[1] + (
+                    b[0] * a[1] - b[1] * a[0]
                 )
                 if e < 0:
                     ok = False

@@ -1,0 +1,124 @@
+"""Pallas rasterizer vs the XLA oracle on a real terrain scene
+(interpret mode on CPU). Must agree on z, id, and attributes."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vrenderer_tpu.config import TerrainSettings
+from vrenderer_tpu.camera import Camera, make_view_constants
+from vrenderer_tpu.ops import raster, raster_pallas, vertex
+from vrenderer_tpu.terrain import grid as gridmod
+from vrenderer_tpu.terrain import quadtree
+from vrenderer_tpu.utils import math3d
+
+SET = TerrainSettings(surface_size=64, world_size=64, max_instances=64, grid_size=8)
+W, H = 256, 128  # two 128x128 supertiles
+
+
+def _scene(eye, target, seed=0):
+    rng = np.random.default_rng(seed)
+    hm = jnp.asarray(
+        (0.5 + 0.45 * np.sin(np.linspace(0, 6, 64))[None, :]
+         * np.cos(np.linspace(0, 5, 64))[:, None]).astype(np.float32)
+    )
+    alb = jnp.asarray(rng.random((64, 64, 3)).astype(np.float32))
+    shad = jnp.asarray(rng.random((64, 64)).astype(np.float32))
+
+    cam = Camera(
+        eye=jnp.asarray(eye, jnp.float32),
+        target=jnp.asarray(target, jnp.float32),
+        up=jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+    )
+    vc = make_view_constants(cam, W, H, 60.0, 0.1, 1000.0)
+    planes = math3d.frustum_planes(vc["world_to_clip"])
+    inst, _ = quadtree.select_nodes(SET, cam.eye, planes, SET.lod_ranges())
+    vout = vertex.vertex_stage(
+        SET, inst, cam.eye, hm, alb, shad, jnp.float32(12.0), SET.lod_ranges()
+    )
+    _, tris = gridmod.make_grid(SET.grid_size)
+    setup = raster.setup_triangles(
+        vout.world, vout.attrs, inst.valid, tris, vc["world_to_clip"], W, H
+    )
+    return inst, vout, setup, vc
+
+
+def _run_both(eye, target):
+    inst, vout, setup, vc = _scene(eye, target)
+    T = SET.tris_per_instance
+    I = SET.max_instances
+
+    z_x, id_x, at_x = raster.rasterize_xla(setup, W, H, tile=(8, 128), batch=64)
+
+    tri_data = raster_pallas.pack_tri_data(setup, I, T)
+    bbox, usable = raster_pallas.instance_screen_bbox(
+        vout.world, vc["world_to_clip"], W, H, inst.valid
+    )
+    work = raster_pallas.build_work_list(
+        bbox, usable, W, H, tile=128, tris_per_inst=T, max_work=256
+    )
+    z_p, id_p, at_p, _ = raster_pallas.rasterize_pallas(
+        tri_data, work, W, H, tile=128, sub_h=8, tri_batch=64,
+        max_work=256, interpret=True,
+    )
+    return (z_x, id_x, at_x), (z_p, id_p, at_p), inst
+
+
+def test_pallas_matches_xla_oracle_frontal_view():
+    (z_x, id_x, at_x), (z_p, id_p, at_p), inst = _run_both(
+        [0.0, 20.0, 40.0], [0.0, 0.0, 0.0]
+    )
+    id_x = np.asarray(id_x)
+    id_p = np.asarray(id_p)
+    covered = id_x >= 0
+    assert covered.sum() > 2000, "scene must cover a good chunk of screen"
+    np.testing.assert_array_equal(id_p, id_x)
+    np.testing.assert_allclose(np.asarray(z_p)[covered], np.asarray(z_x)[covered],
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(at_p)[covered], np.asarray(at_x)[covered], atol=3e-4
+    )
+
+
+def test_pallas_matches_xla_oracle_oblique_view():
+    (z_x, id_x, at_x), (z_p, id_p, at_p), _ = _run_both(
+        [25.0, 8.0, 25.0], [-10.0, 2.0, -10.0]
+    )
+    id_x = np.asarray(id_x)
+    id_p = np.asarray(id_p)
+    covered = id_x >= 0
+    assert covered.sum() > 1000
+    np.testing.assert_array_equal(id_p, id_x)
+    np.testing.assert_allclose(
+        np.asarray(at_p)[covered], np.asarray(at_x)[covered], atol=3e-4
+    )
+
+
+def test_work_list_structure():
+    inst, vout, setup, vc = _scene([0.0, 20.0, 40.0], [0.0, 0.0, 0.0])
+    bbox, usable = raster_pallas.instance_screen_bbox(
+        vout.world, vc["world_to_clip"], W, H, inst.valid
+    )
+    work = raster_pallas.build_work_list(
+        bbox, usable, W, H, tile=128, tris_per_inst=SET.tris_per_instance,
+        max_work=256,
+    )
+    meta = np.asarray(work.meta)
+    n = int(work.num_items)
+    assert n <= 256
+    st = meta[0]
+    # supertile-major, non-decreasing over real items
+    assert np.all(np.diff(st[:n]) >= 0)
+    # every supertile appears (2 tiles here), each with first and last flags
+    for s in range(2):
+        rows = np.nonzero(st[:n] == s)[0]
+        assert len(rows) >= 1
+        assert meta[2, rows[0]] == 1          # first
+        assert meta[3, rows[-1]] == 1         # last
+        assert np.all(meta[2, rows[1:]] == 0)
+        assert np.all(meta[3, rows[:-1]] == 0)
+    # dummy leading items are invalid
+    firsts = np.nonzero(meta[2, :n] == 1)[0]
+    assert np.all(meta[5, firsts] == 0)

@@ -105,22 +105,27 @@ def setup_triangles(
     x1, y1 = pxy[..., 1, 0], pxy[..., 1, 1]
     x2, y2 = pxy[..., 2, 0], pxy[..., 2, 1]
 
-    # signed area*2; with y down, clockwise front faces have area2 > 0
+    # signed area*2 in y-down pixel space. The reference mesh order
+    # (bl, tl, tr / bl, tr, br; TerrainPass.cpp:79-85) lands
+    # counter-clockwise here under the shared view conventions, and the
+    # reference renders it front-facing with back culling
+    # (TerrainPass.cpp:211,474-476) — so front faces are area2 < 0.
     area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    front = area2 > 1e-12
+    front = area2 < -1e-12
 
-    # edges: E_i opposite vertex i, inside: E >= 0 when area2 > 0
+    # edges: E_i opposite vertex i; negated so inside = all E >= 0 for
+    # front (negative-area) faces
     def edge(ax, ay, bx, by):
-        # E_i(x, y) = area2 * lambda_i: for edge a->b (opposite vertex i)
-        # E(x, y) = (ay - by) x + (bx - ax) y + (by*ax - bx*ay)
-        return jnp.stack([ay - by, bx - ax, by * ax - bx * ay], axis=-1)
+        # -area2 * lambda_i for edge a->b (opposite vertex i)
+        return jnp.stack([by - ay, ax - bx, bx * ay - by * ax], axis=-1)
 
     e0 = edge(x1, y1, x2, y2)
     e1 = edge(x2, y2, x0, y0)
     e2 = edge(x0, y0, x1, y1)
     edges = jnp.stack([e0, e1, e2], axis=-2)  # (I, T, 3, 3)
 
-    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+    # lambda_i = E_i / (-area2); the negations cancel in the plane math
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, -area2, 1.0)
 
     # interpolation planes from barycentric identity:
     # q(x,y) = sum_i q_i * E_i(x,y) * inv_area  -> affine in (x, y)
@@ -174,15 +179,20 @@ def rasterize_tile_z(
 ):
     """Merge one triangle batch into a tile's (z, id) buffers.
 
-    Pure function of arrays — shared verbatim by the XLA and Pallas paths.
+    Pure function of arrays. Affine evaluation uses the same broadcast-FMA
+    association as the Pallas kernel (a*x + b*y + c, left to right) so the
+    two paths are bit-identical.
     """
-    prec = jax.lax.Precision.HIGHEST
-    ev = jax.lax.dot_general(
-        edge.reshape(-1, 3), pix, (((1,), (0,)), ((), ())), precision=prec
-    ).reshape(edge.shape[0], 3, -1)                     # (B, 3, P)
+    def affine(coef):  # coef (..., 3) -> (..., P)
+        return (
+            coef[..., 0:1] * pix[0][None]
+            + coef[..., 1:2] * pix[1][None]
+            + coef[..., 2:3]
+        )
+
+    ev = affine(edge.reshape(-1, 3)).reshape(edge.shape[0], 3, -1)  # (B,3,P)
     cover = jnp.all(ev >= 0.0, axis=1)                  # (B, P)
-    zv = jax.lax.dot_general(zplane, pix, (((1,), (0,)), ((), ())),
-                             precision=prec)            # (B, P)
+    zv = affine(zplane)                                 # (B, P)
     live = cover & (tri_id >= 0)[:, None]
     worst = -F32_FAR if reverse_z else F32_FAR
     zv = jnp.where(live, zv, worst)
