@@ -66,9 +66,12 @@ def pack_tri_data(setup: TriSetup, num_instances: int, tris_per_inst: int) -> jn
     # plane coefficients; zero them so the kernel's one-hot coefficient
     # matmul (which contracts over the whole batch) never sees NaN.
     edge = jnp.where(ok, setup.edge.reshape(n, 9), 0.0)
-    planes = jnp.where(ok, setup.planes.reshape(n, -1), 0.0)
-    z = planes[:, 0:3]
-    coef = planes[:, 3:30]
+    planes3 = jnp.where(ok[:, :, None], setup.planes, 0.0)  # (n, 10, 3)
+    z = planes3[:, 0, :]
+    # coefficient rows stored structure-of-arrays: [a0..a8, b0..b8, c0..c8]
+    # so the kernel's finalize reads contiguous slices (strided sublane
+    # slices lower to unsupported gathers in Mosaic)
+    coef = jnp.swapaxes(planes3[:, 1:10, :], 1, 2).reshape(n, 27)
     valid = setup.valid.astype(jnp.float32)[:, None]
     bbox = jnp.where(ok, setup.bbox, 0.0)
     pad = jnp.zeros((n, _R_TOTAL - 44), jnp.float32)
@@ -90,8 +93,13 @@ def instance_screen_bbox(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Conservative per-instance pixel bbox from its lattice vertices.
 
-    Instances with any vertex at w <= eps get a full-screen bbox (their
-    triangles are individually culled/kept by setup, conservative bin).
+    Only vertices in front of the near plane (w > eps) contribute:
+    triangles touching any w <= eps vertex are culled by setup_triangles
+    and never rasterize, so the renderable extent is covered by the
+    in-front vertex set. (This matters: quadtree nodes emitted by their
+    parent are not frustum-tested — QuadTree.cpp:122-126 — and routinely
+    sit behind the camera; a full-screen fallback bbox for them floods
+    the raster work list.)
     Returns (bbox (I, 4) f32, usable (I,) bool).
     """
     from vrenderer_tpu.utils import math3d
@@ -100,15 +108,15 @@ def instance_screen_bbox(
     verts = world.reshape(I, -1, 3)
     clip = math3d.transform_points_h(world_to_clip, verts)
     xy, _, _ = math3d.clip_to_screen(clip, width, height)
-    any_behind = jnp.any(clip[..., 3] <= w_eps, axis=1)
-    x0 = jnp.where(any_behind, 0.0, jnp.min(xy[..., 0], axis=1))
-    y0 = jnp.where(any_behind, 0.0, jnp.min(xy[..., 1], axis=1))
-    x1 = jnp.where(any_behind, float(width), jnp.max(xy[..., 0], axis=1))
-    y1 = jnp.where(any_behind, float(height), jnp.max(xy[..., 1], axis=1))
+    front = clip[..., 3] > w_eps
+    big = 1e9
+    x0 = jnp.min(jnp.where(front, xy[..., 0], big), axis=1)
+    y0 = jnp.min(jnp.where(front, xy[..., 1], big), axis=1)
+    x1 = jnp.max(jnp.where(front, xy[..., 0], -big), axis=1)
+    y1 = jnp.max(jnp.where(front, xy[..., 1], -big), axis=1)
     on = (x1 >= 0) & (y1 >= 0) & (x0 < width) & (y0 < height)
-    # fully-behind instances produce no valid triangles: bin them nowhere
-    all_behind = jnp.all(clip[..., 3] <= w_eps, axis=1)
-    return jnp.stack([x0, y0, x1, y1], axis=-1), inst_valid & on & ~all_behind
+    any_front = jnp.any(front, axis=1)
+    return jnp.stack([x0, y0, x1, y1], axis=-1), inst_valid & on & any_front
 
 
 def build_work_list(
@@ -222,8 +230,13 @@ def _raster_kernel(
         coef_acc[:] = jnp.zeros_like(coef_acc)
 
     # pixel-center coordinate fields for one subtile, (B-broadcastable)
-    ysub = jax.lax.broadcasted_iota(jnp.float32, (1, sub_h, tile), 1) + 0.5
-    xsub = jax.lax.broadcasted_iota(jnp.float32, (1, sub_h, tile), 2) + 0.5
+    # (tpu.iota is integer-only; cast after)
+    ysub = jax.lax.broadcasted_iota(
+        jnp.int32, (1, sub_h, tile), 1
+    ).astype(jnp.float32) + 0.5
+    xsub = jax.lax.broadcasted_iota(
+        jnp.int32, (1, sub_h, tile), 2
+    ).astype(jnp.float32) + 0.5
     tri_iota = jax.lax.broadcasted_iota(
         jnp.int32, (tri_batch, sub_h, tile), 0
     )
@@ -305,7 +318,11 @@ def _raster_kernel(
                         coefs, oh, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (27, P)
-                    updf = upd.reshape(1, sub_h * tile)
+                    # bool reshapes (sublane->lane relayout on i1) are
+                    # unsupported in Mosaic; go through f32
+                    updf = upd.astype(jnp.float32).reshape(
+                        1, sub_h * tile
+                    ) > 0.5
                     acc = coef_acc[s, 0:NUM_COEF, :]
                     coef_acc[s, 0:NUM_COEF, :] = jnp.where(
                         updf, new_coef, acc
@@ -323,14 +340,14 @@ def _raster_kernel(
             sy0 = y0f + s * sub_h
             px = (xsub + x0f).reshape(1, sub_h * tile)
             py = (ysub + sy0).reshape(1, sub_h * tile)
-            coef = coef_acc[s, 0:NUM_COEF, :]  # (27, P)
-            # rows: 3*k = a, 3*k+1 = b, 3*k+2 = c
-            a = coef[0:NUM_COEF:3, :]          # (9, P)
-            bcf = coef[1:NUM_COEF:3, :]
-            c = coef[2:NUM_COEF:3, :]
+            coef = coef_acc[s, 0:NUM_COEF, :]  # (27, P), SoA: a[9];b[9];c[9]
+            a = coef[0:9, :]
+            bcf = coef[9:18, :]
+            c = coef[18:27, :]
             vals = a * px + bcf * py + c       # (9, P)
-            out = jnp.zeros((16, sub_h * tile), jnp.float32)
-            out = out.at[0:9, :].set(vals)
+            out = jnp.concatenate(
+                [vals, jnp.zeros((7, sub_h * tile), jnp.float32)], axis=0
+            )
             attr_ref[:, s * sub_h:(s + 1) * sub_h, :] = out.reshape(
                 16, sub_h, tile
             )
