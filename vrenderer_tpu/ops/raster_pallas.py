@@ -314,9 +314,12 @@ def _raster_kernel(
                     # matmul: [27, B] @ [B, P]
                     coefs = blk[:, _R_COEF:_R_COEF + NUM_COEF]  # (B, 27)
                     oh = onehot.reshape(tri_batch, sub_h * tile)
+                    # HIGHEST: default MXU precision truncates the f32
+                    # coefficients to bf16 (measured 0.67 abs attr error)
                     new_coef = jax.lax.dot_general(
                         coefs, oh, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
                     )  # (27, P)
                     # bool reshapes (sublane->lane relayout on i1) are
                     # unsupported in Mosaic; go through f32
