@@ -1,0 +1,51 @@
+import os
+
+import numpy as np
+
+from vrenderer_tpu.app import App, write_png
+from vrenderer_tpu.config import FrameConfig, TerrainSettings
+from vrenderer_tpu.profiler import FrameProfiler, REFERENCE_GPU_COUNTERS
+
+CFG = FrameConfig(
+    width=256, height=128,
+    terrain=TerrainSettings(surface_size=64, world_size=64, max_instances=64,
+                            grid_size=8),
+)
+
+
+def test_png_roundtrip(tmp_path):
+    img = np.random.default_rng(0).random((16, 32, 3)).astype(np.float32)
+    p = str(tmp_path / "t.png")
+    write_png(p, img)
+    data = open(p, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IHDR" in data and b"IEND" in data
+
+
+def test_app_flythrough_and_trace(tmp_path):
+    import jax.numpy as jnp
+
+    app = App(CFG, heightmap_resolution=64, raster_backend="xla")
+    app.params = app.params._replace(max_height=jnp.float32(12.0))
+    outs = app.run_flythrough(
+        num_frames=2, dump_dir=str(tmp_path),
+        trace_path=str(tmp_path / "trace.json"),
+    )
+    assert len(outs) == 2
+    assert os.path.exists(tmp_path / "frame_0001.png")
+    assert os.path.exists(tmp_path / "trace.json")
+    assert app.profiler.average_frame_ms() > 0
+
+
+def test_frame_profiler_nesting():
+    p = FrameProfiler()
+    p.begin_frame()
+    with p.scope("Render"):
+        with p.scope("Terrain"):
+            pass
+    p.end_frame()
+    evs = p.frames[-1]["events"]
+    names = [e["name"] for e in evs]
+    assert "Render" in names and "Terrain" in names and "CPU Frame" in names
+    assert all(n in REFERENCE_GPU_COUNTERS + ["Render", "CPU Frame"]
+               for n in names)

@@ -1,0 +1,212 @@
+"""Per-pass profiler mirroring the reference's counter schema.
+
+The reference ships a ~1,630-LoC hierarchical CPU+GPU profiler
+(source/profiler/): macro-instrumented scoped events, a 10-frame ring,
+D3D12 timestamp queries resolved through a fenced readback 2 frames deep,
+and an ImGui flame-graph HUD (SURVEY.md §5.1). On TPU the equivalents:
+
+* Device-side pass timing cannot use in-stream timestamps (XLA owns the
+  schedule), so ``PassTimer`` measures each pass with the chained-iteration
+  method: run a pass N times with a data dependency inside one jit and
+  fetch once; per-op time = (t_N - t_1) / (N - 1). This cancels both the
+  host->device tunnel RTT (~150 ms here) and dispatch overhead — the same
+  role the reference's fenced two-frame-latency readback plays
+  (Profiler.cpp:148-235).
+* Counter names mirror the reference so per-pass tables diff directly
+  (REFERENCE_GPU_COUNTERS below; Renderer.cpp:326-440).
+* ``FrameProfiler`` keeps a frame ring (default 10, like
+  gCPUProfiler.Initialize(10, 1024), main.cpp:69) of host-side wall
+  timings and exports chrome://tracing-compatible JSON, replacing the
+  ImGui flame graph with a loadable trace.
+* For kernel-level introspection, jax.profiler can wrap any of this
+  (start_trace/stop_trace) — hooks provided.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+# Counter names from the reference frame (SURVEY.md §5.1)
+REFERENCE_GPU_COUNTERS = [
+    "GPU Frame",
+    "Scene Refresh",
+    "Cascade ShadowMap",
+    "Terrain Shadow",
+    "ShadowMap",
+    "GBuffer fill",
+    "Terrain",
+    "Deferred Lighting",
+    "ToneMapping",
+    "Sky",
+]
+
+REFERENCE_CPU_COUNTERS = [
+    "CPU Frame",
+    "Event Poll",
+    "Animate",
+    "Render",
+    "Wait GPU",
+    "Present",
+    "Renderer::RenderScene",
+    "RecordCommand",
+    "Submit",
+    "TerrainPass",
+    "TerrainPassDepth",
+    "TerrainPass::UpdateTransforms",
+    "TerrainPass::SetupView",
+    "Profiler::Tick",
+]
+
+
+class PassTimer:
+    """Device-time measurement for individual jitted passes.
+
+    measure(name, fn, *args): fn must map its inputs to outputs of the
+    same structure OR return something reducible; it is iterated inside a
+    fori_loop with a perturbation so XLA cannot hoist it, then timed at
+    two chain lengths.
+    """
+
+    def __init__(self, short: int = 2, long: int = 10, reps: int = 3):
+        self.short = short
+        self.long = long
+        self.reps = reps
+        self.results: "OrderedDict[str, float]" = OrderedDict()
+
+    def _chain(self, fn: Callable, args, n: int):
+        def run():
+            def body(i, acc):
+                out = fn(*args)
+                leaves = jax.tree_util.tree_leaves(out)
+                s = jnp.float32(0)
+                for leaf in leaves:
+                    s = s + jnp.asarray(leaf).astype(jnp.float32).ravel()[0]
+                return acc + s * (1.0 + 1e-9 * i)
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        return jax.jit(run)
+
+    def measure(self, name: str, fn: Callable, *args) -> float:
+        """Returns per-call milliseconds; records under `name`."""
+        f_s = self._chain(fn, args, self.short)
+        f_l = self._chain(fn, args, self.long)
+        float(f_s())
+        float(f_l())
+
+        def t(f):
+            best = float("inf")
+            for _ in range(self.reps):
+                t0 = time.perf_counter()
+                float(f())
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        ms = (t(f_l) - t(f_s)) / (self.long - self.short) * 1e3
+        self.results[name] = ms
+        return ms
+
+    def table(self) -> str:
+        width = max((len(k) for k in self.results), default=10)
+        lines = [f"{'pass':<{width}}  ms"]
+        for k, v in self.results.items():
+            lines.append(f"{k:<{width}}  {v:8.3f}")
+        return "\n".join(lines)
+
+
+@dataclass
+class FrameProfiler:
+    """Host-side frame ring + chrome trace export.
+
+    Mirrors the reference's frame ring (history 10) and its event naming;
+    events here are coarse host-visible phases (the fine device-side
+    breakdown comes from PassTimer / jax.profiler).
+    """
+
+    history: int = 10
+    frames: List[Dict] = field(default_factory=list)
+    _open: List[Dict] = field(default_factory=list)
+    _frame_start: Optional[float] = None
+
+    def begin_frame(self):
+        self._frame_start = time.perf_counter()
+        self.frames.append({"events": [], "start": self._frame_start})
+        if len(self.frames) > self.history:
+            self.frames.pop(0)
+
+    def begin(self, name: str):
+        self._open.append({"name": name, "start": time.perf_counter()})
+
+    def end(self):
+        ev = self._open.pop()
+        ev["end"] = time.perf_counter()
+        ev["depth"] = len(self._open)
+        self.frames[-1]["events"].append(ev)
+
+    def scope(self, name: str):
+        prof = self
+
+        class _Scope:
+            def __enter__(self):
+                prof.begin(name)
+
+            def __exit__(self, *a):
+                prof.end()
+
+        return _Scope()
+
+    def end_frame(self):
+        if self.frames and self._frame_start is not None:
+            self.frames[-1]["events"].append(
+                {
+                    "name": "CPU Frame",
+                    "start": self._frame_start,
+                    "end": time.perf_counter(),
+                    "depth": -1,
+                }
+            )
+
+    def export_chrome_trace(self, path: str):
+        """chrome://tracing / Perfetto JSON (replaces the ImGui HUD)."""
+        events = []
+        for f in self.frames:
+            for ev in f["events"]:
+                events.append(
+                    {
+                        "name": ev["name"],
+                        "ph": "X",
+                        "ts": ev["start"] * 1e6,
+                        "dur": (ev["end"] - ev["start"]) * 1e6,
+                        "pid": 0,
+                        "tid": max(ev["depth"], 0),
+                    }
+                )
+        with open(path, "w") as fh:
+            json.dump({"traceEvents": events}, fh)
+
+    def average_frame_ms(self) -> float:
+        """Title-bar style avg ms/frame (Renderer.cpp:190)."""
+        durs = []
+        for f in self.frames:
+            for ev in f["events"]:
+                if ev["name"] == "CPU Frame":
+                    durs.append(ev["end"] - ev["start"])
+        return (sum(durs) / len(durs) * 1e3) if durs else 0.0
+
+
+def start_device_trace(logdir: str):
+    """jax.profiler hook: captures XLA/TPU traces viewable in TensorBoard
+    or Perfetto (the deep-dive analog of the reference's GPU timestamps).
+    """
+    jax.profiler.start_trace(logdir)
+
+
+def stop_device_trace():
+    jax.profiler.stop_trace()
