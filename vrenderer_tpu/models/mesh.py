@@ -1,0 +1,118 @@
+"""Triangle meshes: the scene-geometry path.
+
+The reference renders GLTF scene meshes through Donut's GBufferFillPass
+with an instanced opaque draw strategy (Renderer.cpp:384-399) alongside
+the terrain. Here a mesh is a plain array bundle; scene geometry flows
+through the SAME rasterizer as terrain by chunking mesh triangles into
+fixed-size instance blocks (ops/raster_pallas packs per-instance blocks
+of tris_per_instance triangles, so a mesh just becomes extra blocks with
+validity padding).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from vrenderer_tpu.utils import math3d
+
+
+class Mesh(NamedTuple):
+    positions: jnp.ndarray  # (V, 3)
+    normals: jnp.ndarray    # (V, 3)
+    colors: jnp.ndarray     # (V, 3) linear base color
+    tris: jnp.ndarray       # (T, 3) int32
+
+    @property
+    def num_tris(self) -> int:
+        return self.tris.shape[0]
+
+
+def cube(size: float = 1.0, color=(0.8, 0.2, 0.2)) -> Mesh:
+    """Unit-ish cube, the stand-in for the reference's Cube.gltf default
+    scene (main.cpp:89-95). 24 verts (split normals), 12 tris, wound so
+    outward faces are front under the renderer's conventions."""
+    s = size * 0.5
+    faces = [
+        # (normal, corners CCW seen from outside)
+        ((0, 0, 1), [(-s, -s, s), (s, -s, s), (s, s, s), (-s, s, s)]),
+        ((0, 0, -1), [(s, -s, -s), (-s, -s, -s), (-s, s, -s), (s, s, -s)]),
+        ((1, 0, 0), [(s, -s, s), (s, -s, -s), (s, s, -s), (s, s, s)]),
+        ((-1, 0, 0), [(-s, -s, -s), (-s, -s, s), (-s, s, s), (-s, s, -s)]),
+        ((0, 1, 0), [(-s, s, s), (s, s, s), (s, s, -s), (-s, s, -s)]),
+        ((0, -1, 0), [(-s, -s, -s), (s, -s, -s), (s, -s, s), (-s, -s, s)]),
+    ]
+    pos, nrm, tris = [], [], []
+    for n, corners in faces:
+        base = len(pos)
+        pos.extend(corners)
+        nrm.extend([n] * 4)
+        tris.append([base, base + 1, base + 2])
+        tris.append([base, base + 2, base + 3])
+    pos = np.asarray(pos, np.float32)
+    nrm = np.asarray(nrm, np.float32)
+    col = np.tile(np.asarray(color, np.float32), (len(pos), 1))
+    return Mesh(
+        positions=jnp.asarray(pos),
+        normals=jnp.asarray(nrm),
+        colors=jnp.asarray(col),
+        tris=jnp.asarray(np.asarray(tris, np.int32)),
+    )
+
+
+def transform_mesh(mesh: Mesh, affine: jnp.ndarray) -> Mesh:
+    """Apply a (4, 3) row-vector affine (scene-graph node transform)."""
+    pos = math3d.affine_apply(affine, mesh.positions)
+    lin_inv_t = jnp.linalg.inv(affine[:3, :]).T
+    nrm = math3d.normalize(mesh.normals @ lin_inv_t.T)
+    return mesh._replace(positions=pos, normals=nrm)
+
+
+def mesh_to_blocks(
+    mesh: Mesh,
+    tris_per_block: int,
+    max_height: jnp.ndarray,
+    shadow_sampler=None,
+    num_attrs: int = 8,
+):
+    """Chunk a mesh into rasterizer instance blocks.
+
+    Returns (world (B, 3*tpb, 3), attrs (B, 3*tpb, A), tri_idx (tpb, 3),
+    valid (B,)): each block carries its own 3 verts per triangle
+    (deduplication across blocks isn't worth the bookkeeping at scene
+    sizes), with the standard attr channel layout (ops/vertex.py):
+    albedo3, normal3, shadow, height01.
+    """
+    T = mesh.num_tris
+    tpb = tris_per_block
+    nb = -(-T // tpb)
+    pad = nb * tpb - T
+
+    tri_pos = mesh.positions[mesh.tris.reshape(-1)]   # (3T, 3)
+    tri_nrm = mesh.normals[mesh.tris.reshape(-1)]
+    tri_col = mesh.colors[mesh.tris.reshape(-1)]
+
+    def padv(x):
+        return jnp.pad(x, [(0, 3 * pad)] + [(0, 0)] * (x.ndim - 1))
+
+    tri_pos = padv(tri_pos).reshape(nb, 3 * tpb, 3)
+    tri_nrm = padv(tri_nrm).reshape(nb, 3 * tpb, 3)
+    tri_col = padv(tri_col).reshape(nb, 3 * tpb, 3)
+
+    if shadow_sampler is None:
+        shad = jnp.ones(tri_pos.shape[:2], jnp.float32)
+    else:
+        shad = shadow_sampler(tri_pos)
+    h01 = tri_pos[..., 1] / jnp.maximum(max_height, 1e-6)
+    attrs = jnp.concatenate(
+        [tri_col, tri_nrm, shad[..., None], h01[..., None]], axis=-1
+    )
+
+    idx = jnp.arange(tpb * 3, dtype=jnp.int32).reshape(tpb, 3)
+    # mask padded triangles by making them degenerate (all three verts 0)
+    # AND marking per-vertex validity via the instance-valid path: blocks
+    # are always "valid"; padded tris are degenerate -> culled by setup.
+    valid = jnp.ones((nb,), bool)
+    return tri_pos, attrs, idx, valid

@@ -1,0 +1,217 @@
+"""Scene: mesh instances + lights + a minimal glTF 2.0 loader.
+
+The reference's scene system is Donut's engine::Scene — GLTF scene graph,
+async load kicked off from main (BeginLoadingScene, main.cpp:89-95 →
+Renderer::LoadScene, Renderer.cpp:101-122), default sun attached when the
+file has no lights (Renderer.cpp:124-147). This module covers that
+surface headlessly:
+
+* ``Scene``: mesh instances (mesh + affine transform), directional light,
+  bounds; ``Scene.default()`` is the Cube.gltf-equivalent startup scene.
+* ``load_gltf``: dependency-free glTF 2.0 (.gltf with external/B64 buffer,
+  or .glb) loader for triangle meshes: POSITION/NORMAL attributes,
+  indices, node transforms, material base color. Enough to ingest simple
+  scenes like the reference's Cube.gltf; unsupported features fail loudly.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import struct
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from vrenderer_tpu.config import LightParams
+from vrenderer_tpu.models.mesh import Mesh
+from vrenderer_tpu.utils import math3d
+
+
+@dataclass
+class MeshInstance:
+    mesh: Mesh
+    transform: jnp.ndarray  # (4, 3) row-vector affine
+    name: str = ""
+
+
+@dataclass
+class Scene:
+    instances: List[MeshInstance] = field(default_factory=list)
+    light: Optional[LightParams] = None
+
+    @staticmethod
+    def default() -> "Scene":
+        """Startup scene: one cube at the origin + the reference's default
+        sun (Renderer.cpp:135-142), standing in for Cube.gltf."""
+        from vrenderer_tpu.models.mesh import cube
+
+        return Scene(
+            instances=[
+                MeshInstance(
+                    mesh=cube(40.0, color=(0.8, 0.2, 0.2)),
+                    transform=math3d.affine_translation(
+                        jnp.array([0.0, 120.0, 0.0], jnp.float32)
+                    ),
+                    name="Cube",
+                )
+            ],
+            light=LightParams(),
+        )
+
+    def ensure_light(self) -> LightParams:
+        """SceneLoaded(): attach the default sun if none (Renderer.cpp:133)."""
+        if self.light is None:
+            self.light = LightParams()
+        return self.light
+
+
+# ---------------------------------------------------------------------------
+# glTF 2.0 loading (subset)
+# ---------------------------------------------------------------------------
+
+_COMPONENT = {
+    5120: ("b", 1), 5121: ("B", 1), 5122: ("h", 2),
+    5123: ("H", 2), 5125: ("I", 4), 5126: ("f", 4),
+}
+_NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+def _read_accessor(gltf: dict, buffers: List[bytes], idx: int) -> np.ndarray:
+    acc = gltf["accessors"][idx]
+    view = gltf["bufferViews"][acc["bufferView"]]
+    buf = buffers[view.get("buffer", 0)]
+    fmt, csize = _COMPONENT[acc["componentType"]]
+    ncomp = _NCOMP[acc["type"]]
+    count = acc["count"]
+    offset = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    stride = view.get("byteStride", csize * ncomp)
+    out = np.empty((count, ncomp), np.float64)
+    for i in range(count):
+        vals = struct.unpack_from(f"<{ncomp}{fmt}", buf, offset + i * stride)
+        out[i] = vals
+    if acc.get("normalized"):
+        out /= float(2 ** (8 * csize) - 1)
+    return out
+
+
+def _node_transform(node: dict) -> np.ndarray:
+    """glTF node -> (4, 3) row-vector affine (column-major M in the file,
+    v' = M @ v for column vectors == v @ M^T for row vectors)."""
+    if "matrix" in node:
+        m = np.asarray(node["matrix"], np.float32).reshape(4, 4)  # col-major
+        m = m.T  # row-major, column-vector convention: v' = v_h @ m^T...
+        lin = m[:3, :3].T
+        tr = m[:3, 3]
+        return np.concatenate([lin, tr[None, :]], axis=0).astype(np.float32)
+    t = np.asarray(node.get("translation", [0, 0, 0]), np.float32)
+    s = np.asarray(node.get("scale", [1, 1, 1]), np.float32)
+    q = np.asarray(node.get("rotation", [0, 0, 0, 1]), np.float32)
+    x, y, z, w = q
+    rot = np.asarray(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y + z * w), 2 * (x * z - y * w)],
+            [2 * (x * y - z * w), 1 - 2 * (x * x + z * z), 2 * (y * z + x * w)],
+            [2 * (x * z + y * w), 2 * (y * z - x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float32,
+    )
+    # row-vector affine: v' = (v * S) @ R + t
+    lin = np.diag(s) @ rot
+    return np.concatenate([lin, t[None, :]], axis=0).astype(np.float32)
+
+
+def load_gltf(path: str) -> Scene:
+    """Load a .gltf / .glb file into a Scene (triangle meshes only)."""
+    if path.endswith(".glb"):
+        raw = open(path, "rb").read()
+        magic, _, _ = struct.unpack_from("<III", raw, 0)
+        assert magic == 0x46546C67, "not a GLB file"
+        off = 12
+        gltf = None
+        buffers: List[bytes] = []
+        while off < len(raw):
+            clen, ctype = struct.unpack_from("<II", raw, off)
+            data = raw[off + 8: off + 8 + clen]
+            if ctype == 0x4E4F534A:  # JSON
+                gltf = json.loads(data)
+            elif ctype == 0x004E4942:  # BIN
+                buffers.append(data)
+            off += 8 + clen
+        assert gltf is not None
+    else:
+        gltf = json.load(open(path))
+        buffers = []
+        base_dir = os.path.dirname(path)
+        for b in gltf.get("buffers", []):
+            uri = b.get("uri", "")
+            if uri.startswith("data:"):
+                buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+            else:
+                buffers.append(open(os.path.join(base_dir, uri), "rb").read())
+
+    materials = gltf.get("materials", [])
+
+    def base_color(prim):
+        m = prim.get("material")
+        if m is None:
+            return (0.8, 0.8, 0.8)
+        pbr = materials[m].get("pbrMetallicRoughness", {})
+        return tuple(pbr.get("baseColorFactor", [0.8, 0.8, 0.8, 1.0])[:3])
+
+    meshes_out: List[List[Mesh]] = []
+    for mesh in gltf.get("meshes", []):
+        prims = []
+        for prim in mesh.get("primitives", []):
+            if prim.get("mode", 4) != 4:
+                raise ValueError("only triangle primitives supported")
+            pos = _read_accessor(gltf, buffers, prim["attributes"]["POSITION"])
+            if "NORMAL" in prim["attributes"]:
+                nrm = _read_accessor(gltf, buffers, prim["attributes"]["NORMAL"])
+            else:
+                nrm = np.tile([0.0, 1.0, 0.0], (len(pos), 1))
+            if "indices" in prim:
+                idx = _read_accessor(gltf, buffers, prim["indices"])
+                tris = idx.reshape(-1, 3).astype(np.int32)
+            else:
+                tris = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
+            col = np.tile(np.asarray(base_color(prim), np.float32),
+                          (len(pos), 1))
+            prims.append(
+                Mesh(
+                    positions=jnp.asarray(pos, jnp.float32),
+                    normals=jnp.asarray(nrm, jnp.float32),
+                    colors=jnp.asarray(col),
+                    tris=jnp.asarray(tris),
+                )
+            )
+        meshes_out.append(prims)
+
+    scene = Scene()
+    scene_def = gltf.get("scenes", [{}])[gltf.get("scene", 0)]
+
+    def visit(node_idx: int, parent: np.ndarray):
+        node = gltf["nodes"][node_idx]
+        local = _node_transform(node)
+        world = np.asarray(
+            math3d.affine_compose(jnp.asarray(local), jnp.asarray(parent))
+        )
+        if "mesh" in node:
+            for prim in meshes_out[node["mesh"]]:
+                scene.instances.append(
+                    MeshInstance(
+                        mesh=prim,
+                        transform=jnp.asarray(world),
+                        name=node.get("name", f"node{node_idx}"),
+                    )
+                )
+        for child in node.get("children", []):
+            visit(child, world)
+
+    identity = np.concatenate([np.eye(3), np.zeros((1, 3))]).astype(np.float32)
+    for root in scene_def.get("nodes", []):
+        visit(root, identity)
+    return scene

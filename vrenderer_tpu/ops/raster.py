@@ -71,20 +71,23 @@ class TriSetup(NamedTuple):
 
 
 def setup_triangles(
-    world: jnp.ndarray,        # (I, S, S, 3) morphed world positions
-    attrs: jnp.ndarray,        # (I, S, S, A)
+    world: jnp.ndarray,        # (I, V, 3) or (I, S, S, 3) world positions
+    attrs: jnp.ndarray,        # (I, V, A) or (I, S, S, A)
     inst_valid: jnp.ndarray,   # (I,) bool
-    tri_indices: jnp.ndarray,  # (T, 3) int32 into the flattened S*S lattice
+    tri_indices: jnp.ndarray,  # (T, 3) int32 into the V vertex axis
     world_to_clip: jnp.ndarray,  # (4, 4) row-vector
     width: int,
     height: int,
     w_eps: float = 1e-4,
 ) -> TriSetup:
-    """Project vertices and build per-triangle setup for I*T triangles."""
-    I, S, _, _ = world.shape
+    """Project vertices and build per-triangle setup for I*T triangles.
+
+    Accepts either flat per-instance vertex arrays (general meshes) or the
+    terrain's (S, S) lattice layout."""
+    I = world.shape[0]
     A = attrs.shape[-1]
-    verts = world.reshape(I, S * S, 3)
-    vattr = attrs.reshape(I, S * S, A)
+    verts = world.reshape(I, -1, 3)
+    vattr = attrs.reshape(I, -1, A)
 
     clip = math3d.transform_points_h(world_to_clip, verts)  # (I, V, 4)
     xy, z_ndc, inv_w = math3d.clip_to_screen(clip, width, height)

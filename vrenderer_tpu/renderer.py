@@ -90,6 +90,7 @@ class Renderer:
         raster_backend: str = "pallas",
         interpret: bool = False,
         max_work: int = 4096,
+        scene: Any = None,
     ):
         self.config = config
         self.heightmap = heightmap
@@ -99,7 +100,33 @@ class Renderer:
         self.interpret = interpret
         self.max_work = max_work
         _, self.tri_indices = gridmod.make_grid(config.terrain.grid_size)
+        self._scene_world, self._scene_attrs, self._scene_tri_idx = (
+            self._prepare_scene(scene)
+        )
         self._frame_jit = jax.jit(self._frame)
+
+    def _prepare_scene(self, scene):
+        """Chunk scene meshes into raster blocks (the reference's
+        'GBuffer fill' geometry, Renderer.cpp:384-399). Static per
+        renderer; scene edits rebuild (the reference re-refreshes buffers
+        each frame, Renderer.cpp:328-331 — cheap here too if needed)."""
+        if scene is None or not scene.instances:
+            return None, None, None
+        from vrenderer_tpu.models import mesh as meshmod
+
+        tpb = self.config.terrain.tris_per_instance
+        worlds, attrs = [], []
+        tri_idx = None
+        for inst in scene.instances:
+            m = meshmod.transform_mesh(inst.mesh, inst.transform)
+            w, a, tri_idx, _ = meshmod.mesh_to_blocks(
+                m, tpb, jnp.float32(400.0)
+            )
+            worlds.append(w)
+            attrs.append(a)
+        return (
+            jnp.concatenate(worlds), jnp.concatenate(attrs), tri_idx,
+        )
 
     # -- passes ------------------------------------------------------------
 
@@ -120,6 +147,22 @@ class Renderer:
             vout.world, vout.attrs, instances.valid, self.tri_indices,
             vc["world_to_clip"], cfg.width, cfg.height,
         )
+        n_scene = 0
+        if self._scene_world is not None:
+            # scene meshes ("GBuffer fill" geometry) ride the same raster
+            # as extra instance blocks
+            n_scene = self._scene_world.shape[0]
+            s_setup = raster.setup_triangles(
+                self._scene_world, self._scene_attrs,
+                jnp.ones((n_scene,), bool), self._scene_tri_idx,
+                vc["world_to_clip"], cfg.width, cfg.height,
+            )
+            setup = raster.TriSetup(
+                edge=jnp.concatenate([setup.edge, s_setup.edge]),
+                planes=jnp.concatenate([setup.planes, s_setup.planes]),
+                bbox=jnp.concatenate([setup.bbox, s_setup.bbox]),
+                valid=jnp.concatenate([setup.valid, s_setup.valid]),
+            )
         if self.raster_backend == "xla":
             z, prim_id, attrs = raster.rasterize_xla(
                 setup, cfg.padded_width, cfg.padded_height,
@@ -132,12 +175,19 @@ class Renderer:
             attrs = attrs[:cfg.height, :cfg.width]
         else:
             tri_data = raster_pallas.pack_tri_data(
-                setup, ts.max_instances, ts.tris_per_instance
+                setup, ts.max_instances + n_scene, ts.tris_per_instance
             )
             bbox, usable = raster_pallas.instance_screen_bbox(
                 vout.world, vc["world_to_clip"], cfg.width, cfg.height,
                 instances.valid,
             )
+            if n_scene:
+                s_bbox, s_usable = raster_pallas.instance_screen_bbox(
+                    self._scene_world, vc["world_to_clip"],
+                    cfg.width, cfg.height, jnp.ones((n_scene,), bool),
+                )
+                bbox = jnp.concatenate([bbox, s_bbox])
+                usable = jnp.concatenate([usable, s_usable])
             work = raster_pallas.build_work_list(
                 bbox, usable, cfg.width, cfg.height,
                 tile=cfg.raster.tile_w,
