@@ -48,7 +48,7 @@ def build():
     r = Renderer(cfg, hm, alb, raster_backend="pallas",
                  interpret=not on_tpu, max_work=4096)
     params = FrameParams.default()
-    cams = flythrough(64)
+    cams = flythrough(64, heightmap=hm, max_height=400.0)
     return r, params, cams
 
 

@@ -84,7 +84,11 @@ class App:
         dump_dir: Optional[str] = None,
         trace_path: Optional[str] = None,
     ):
-        cams = flythrough(num_frames, world_size=self.config.terrain.world_size)
+        cams = flythrough(
+            num_frames, world_size=self.config.terrain.world_size,
+            heightmap=self.heightmap,
+            max_height=float(np.asarray(self.params.max_height)),
+        )
         outputs = []
         for i in range(num_frames):
             self.profiler.begin_frame()

@@ -70,18 +70,34 @@ def flythrough(
     world_size: float = 2048.0,
     altitude: float = 205.0,
     radius_frac: float = 0.3,
+    heightmap=None,
+    max_height: float = 400.0,
+    clearance: float = 60.0,
 ) -> Camera:
     """A deterministic scripted orbit+descent flythrough over the terrain.
 
     Returns a Camera whose fields have a leading (num_frames,) axis —
     the standard workload for the 1080p flythrough benchmark
-    (BASELINE.md config 2).
+    (BASELINE.md config 2). When a heightmap is given, the path stays at
+    least ``clearance`` above the terrain (the reference's hand-tuned pose
+    assumed its own asset's heights; a procedural field needs this).
     """
     t = jnp.linspace(0.0, 1.0, num_frames, dtype=jnp.float32)
     ang = t * 2.0 * jnp.pi
     r = world_size * radius_frac * (1.0 - 0.5 * t)
     alt = altitude * (1.0 - 0.6 * t) + 40.0
-    eye = jnp.stack([r * jnp.cos(ang), alt, r * jnp.sin(ang)], axis=-1)
+    ex = r * jnp.cos(ang)
+    ez = r * jnp.sin(ang)
+    if heightmap is not None:
+        from vrenderer_tpu.ops import texture
+
+        ground = texture.sample_points(
+            heightmap,
+            (ex + world_size * 0.5) / world_size,
+            (ez + world_size * 0.5) / world_size,
+        ) * max_height
+        alt = jnp.maximum(alt, ground + clearance)
+    eye = jnp.stack([ex, alt, ez], axis=-1)
     look_ang = ang + 0.9
     target = jnp.stack(
         [

@@ -92,11 +92,39 @@ def setup_triangles(
     clip = math3d.transform_points_h(world_to_clip, verts)  # (I, V, 4)
     xy, z_ndc, inv_w = math3d.clip_to_screen(clip, width, height)
 
-    # per-triangle vertex pulls: static index take along the vertex axis
-    def tri_take(x):
-        return jnp.take(x, tri_indices.reshape(-1), axis=1).reshape(
-            (I, tri_indices.shape[0], 3) + x.shape[2:]
-        )
+    # Per-triangle vertex pulls. For the terrain lattice layout this is
+    # done with pure shifted SLICES of the (S, S) grid (a jnp.take here is
+    # an 80M-element gather per frame at 1080p — measured ~0.15G elem/s on
+    # v5e); general meshes use take (small vertex counts).
+    lattice_side = None
+    if world.ndim == 4 and world.shape[1] == world.shape[2]:
+        S = world.shape[1]
+        T = tri_indices.shape[0]
+        if T == (S - 1) * (S - 1) * 2:
+            lattice_side = S
+
+    if lattice_side is not None:
+        S = lattice_side
+
+        def tri_take(x):
+            g = x.reshape((I, S, S) + x.shape[2:])
+            bl = g[:, :-1, :-1]
+            tl = g[:, 1:, :-1]
+            tr = g[:, 1:, 1:]
+            br = g[:, :-1, 1:]
+            # make_grid order: per cell (row-major), tri A = (bl, tl, tr),
+            # tri B = (bl, tr, br) (TerrainPass.cpp:79-85)
+            a = jnp.stack([bl, tl, tr], axis=3)   # (I, S-1, S-1, 3, ...)
+            b = jnp.stack([bl, tr, br], axis=3)
+            both = jnp.stack([a, b], axis=3)      # (I, S-1, S-1, 2, 3, ...)
+            return both.reshape(
+                (I, (S - 1) * (S - 1) * 2, 3) + x.shape[2:]
+            )
+    else:
+        def tri_take(x):
+            return jnp.take(x, tri_indices.reshape(-1), axis=1).reshape(
+                (I, tri_indices.shape[0], 3) + x.shape[2:]
+            )
 
     pxy = tri_take(xy)          # (I, T, 3, 2)
     pz = tri_take(z_ndc)        # (I, T, 3)
