@@ -180,6 +180,15 @@ def setup_triangles(
     w_ok = jnp.all(pw > w_eps, axis=-1)
     valid = front & w_ok & on_screen & inst_valid[:, None]
 
+    # normalize each edge by its gradient magnitude: E becomes the signed
+    # pixel distance to the edge (sign/coverage unchanged; enables the
+    # wireframe fill mode, reference RasterFillMode::Wireframe,
+    # TerrainPass.cpp:311)
+    grad = jnp.sqrt(
+        edges[..., 0] ** 2 + edges[..., 1] ** 2
+    )
+    edges = edges / jnp.maximum(grad, 1e-20)[..., None]
+
     T = tri_indices.shape[0]
     return TriSetup(
         edge=edges.reshape(I * T, 3, 3),
@@ -207,6 +216,7 @@ def rasterize_tile_z(
     z_init: jnp.ndarray,   # (P,)
     id_init: jnp.ndarray,  # (P,)
     reverse_z: bool = False,
+    wire_px: float = 0.0,  # > 0: wireframe fill mode, line half-width
 ):
     """Merge one triangle batch into a tile's (z, id) buffers.
 
@@ -223,6 +233,8 @@ def rasterize_tile_z(
 
     ev = affine(edge.reshape(-1, 3)).reshape(edge.shape[0], 3, -1)  # (B,3,P)
     cover = jnp.all(ev >= 0.0, axis=1)                  # (B, P)
+    if wire_px > 0.0:
+        cover = cover & (jnp.min(ev, axis=1) <= wire_px)
     zv = affine(zplane)                                 # (B, P)
     live = cover & (tri_id >= 0)[:, None]
     worst = -F32_FAR if reverse_z else F32_FAR
@@ -264,7 +276,7 @@ def resolve_tile_attrs(
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "batch",
-                                   "reverse_z", "num_attrs"))
+                                   "reverse_z", "num_attrs", "wire_px"))
 def rasterize_xla(
     setup: TriSetup,
     width: int,
@@ -273,6 +285,7 @@ def rasterize_xla(
     batch: int = 128,
     reverse_z: bool = False,
     num_attrs: int = 8,
+    wire_px: float = 0.0,
 ):
     """Brute-force reference rasterizer: every tile tests every triangle
     batch (no binning). O(tiles * triangles) — for tests and small frames;
@@ -310,7 +323,8 @@ def rasterize_xla(
         def zbody(b, carry):
             z, i = carry
             return rasterize_tile_z(
-                edge[b], planes[b, :, 0, :], ids[b], pix, z, i, reverse_z
+                edge[b], planes[b, :, 0, :], ids[b], pix, z, i, reverse_z,
+                wire_px,
             )
 
         z, idb = jax.lax.fori_loop(0, nb, zbody, (z0, i0))

@@ -205,6 +205,7 @@ def _raster_kernel(
     tri_batch: int,
     tris_per_inst: int,
     reverse_z: bool,
+    wire_px: float,
 ):
     w = pl.program_id(0)
     first = meta_ref[2, w]
@@ -282,6 +283,12 @@ def _raster_kernel(
                         (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
                         & live[:, None, None]
                     )
+                    if wire_px > 0.0:
+                        # wireframe fill mode: edges are normalized to
+                        # pixel distance at setup
+                        cover = cover & (
+                            jnp.minimum(e0, jnp.minimum(e1, e2)) <= wire_px
+                        )
                     zv = affine(_R_Z)
                     zv = jnp.where(cover, zv, worst)
 
@@ -360,7 +367,7 @@ def _raster_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "tile", "sub_h", "tri_batch", "reverse_z",
-        "max_work", "interpret",
+        "max_work", "interpret", "wire_px",
     ),
 )
 def rasterize_pallas(
@@ -374,6 +381,7 @@ def rasterize_pallas(
     reverse_z: bool = False,
     max_work: int = 2048,
     interpret: bool = False,
+    wire_px: float = 0.0,
 ):
     """Returns (z (H, W), id (H, W) i32 [-1 = background], attrs (H, W, 8),
     inv_w (H, W)). H/W are padded up to tile multiples then cropped."""
@@ -412,6 +420,7 @@ def rasterize_pallas(
         tri_batch=tri_batch,
         tris_per_inst=T,
         reverse_z=reverse_z,
+        wire_px=wire_px,
     )
     z, idb, attr = pl.pallas_call(
         kernel,

@@ -131,14 +131,16 @@ class Renderer:
     # -- passes ------------------------------------------------------------
 
     def _terrain_pass(self, vc: Dict[str, jnp.ndarray], params: FrameParams,
-                      shadow_field: jnp.ndarray):
-        """Select -> vertex -> setup -> rasterize. Returns raster products."""
+                      shadow_field: jnp.ndarray, instances=None):
+        """Select -> vertex -> setup -> rasterize. Returns raster products.
+        A precomputed instance set freezes selection (lock-view)."""
         cfg = self.config
         ts = cfg.terrain
-        planes = math3d.frustum_planes(vc["world_to_clip"])
-        instances = quadtree.select_all_surfaces(
-            ts, vc["camera_pos"], planes, ts.lod_ranges()
-        )
+        if instances is None:
+            planes = math3d.frustum_planes(vc["world_to_clip"])
+            instances = quadtree.select_all_surfaces(
+                ts, vc["camera_pos"], planes, ts.lod_ranges()
+            )
         vout = vertex.vertex_stage(
             ts, instances, vc["camera_pos"], self.heightmap, self.albedo,
             shadow_field, params.max_height, ts.lod_ranges(),
@@ -163,12 +165,14 @@ class Renderer:
                 bbox=jnp.concatenate([setup.bbox, s_setup.bbox]),
                 valid=jnp.concatenate([setup.valid, s_setup.valid]),
             )
+        wire_px = 1.0 if cfg.raster.wireframe else 0.0
         if self.raster_backend == "xla":
             z, prim_id, attrs = raster.rasterize_xla(
                 setup, cfg.padded_width, cfg.padded_height,
                 tile=(cfg.raster.subtile_h, 128),
                 batch=cfg.raster.tri_batch,
                 reverse_z=cfg.raster.reverse_z,
+                wire_px=wire_px,
             )
             z = z[:cfg.height, :cfg.width]
             prim_id = prim_id[:cfg.height, :cfg.width]
@@ -201,6 +205,7 @@ class Renderer:
                 reverse_z=cfg.raster.reverse_z,
                 max_work=self.max_work,
                 interpret=self.interpret,
+                wire_px=wire_px,
             )
             return z, prim_id, attrs, instances, work.num_items
         return z, prim_id, attrs, instances, jnp.int32(0)
@@ -223,6 +228,14 @@ class Renderer:
     # -- frame -------------------------------------------------------------
 
     def _frame(self, camera: Camera, params: FrameParams) -> FrameOutput:
+        return self._frame_impl(camera, params, None)
+
+    def _frame_with_instances(self, camera: Camera, params: FrameParams,
+                              instances) -> FrameOutput:
+        return self._frame_impl(camera, params, instances)
+
+    def _frame_impl(self, camera: Camera, params: FrameParams,
+                    lock_instances) -> FrameOutput:
         cfg = self.config
         vc = make_view_constants(
             camera, cfg.width, cfg.height, cfg.vfov_degrees,
@@ -237,7 +250,7 @@ class Renderer:
 
         # "Terrain": geometry + visibility + interpolated G-buffer attrs
         z, prim_id, attrs, instances, n_work = self._terrain_pass(
-            vc, params, shadow_field
+            vc, params, shadow_field, lock_instances
         )
         covered = prim_id >= 0
 
@@ -278,6 +291,54 @@ class Renderer:
         if params is None:
             params = FrameParams.default(self.light)
         return self._frame_jit(camera, params)
+
+    # -- editor-parity APIs -------------------------------------------------
+
+    def select(self, camera: Camera):
+        """Run LOD selection only (for lock-view workflows and debug).
+        Reference: EditorParams.m_LockView freezes selection while the
+        camera moves (TerrainPass.cpp:173,192-197)."""
+        cfg = self.config
+        vc = make_view_constants(
+            camera, cfg.width, cfg.height, cfg.vfov_degrees,
+            cfg.z_near, cfg.z_far,
+        )
+        planes = math3d.frustum_planes(vc["world_to_clip"])
+        return quadtree.select_all_surfaces(
+            cfg.terrain, vc["camera_pos"], planes, cfg.terrain.lod_ranges()
+        )
+
+    def debug_selection(self, camera: Camera):
+        """Per-level selected/culled masks — the headless analog of the
+        reference's green/red quadtree debug cubes (Renderer.cpp:481-513).
+        Single-surface worlds only (the debug view matches)."""
+        cfg = self.config
+        vc = make_view_constants(
+            camera, cfg.width, cfg.height, cfg.vfov_degrees,
+            cfg.z_near, cfg.z_far,
+        )
+        planes = math3d.frustum_planes(vc["world_to_clip"])
+        _, debug = quadtree.select_nodes(
+            cfg.terrain, vc["camera_pos"], planes, cfg.terrain.lod_ranges()
+        )
+        return debug
+
+    def render_locked(self, camera: Camera, params: FrameParams,
+                      instances) -> FrameOutput:
+        """Render with a frozen instance set (lock-view): the camera moves
+        but LOD selection stays fixed."""
+        if not hasattr(self, "_frame_locked_jit"):
+            self._frame_locked_jit = jax.jit(self._frame_with_instances)
+        return self._frame_locked_jit(camera, params, instances)
+
+    def reload_pipelines(self):
+        """Shader-hot-reload analog (reference: m_ShaderReoladRequested ->
+        ClearCache + rebuild passes, Renderer.cpp:226-231): drops all
+        compiled executables so the next frame retraces/recompiles."""
+        jax.clear_caches()
+        self._frame_jit = jax.jit(self._frame)
+        if hasattr(self, "_frame_locked_jit"):
+            del self._frame_locked_jit
 
     # -- shadow-map parity pass (reference "Terrain Shadow" counter) -------
 
