@@ -227,6 +227,23 @@ def _pack_instances(
     )
 
 
+def single_tile_instances(settings: TerrainSettings) -> SelectedInstances:
+    """One root-node instance covering the whole surface — the minimum
+    end-to-end slice (BASELINE.md config 1: single flat terrain tile,
+    fixed camera, no LOD machinery). Feed to Renderer.render_locked."""
+    cap = settings.max_instances
+    half = settings.surface_size / 2.0
+    position = jnp.zeros((cap, 3), jnp.float32)
+    extents = jnp.zeros((cap, 3), jnp.float32)
+    extents = extents.at[0, 0].set(half).at[0, 2].set(half)
+    lod = jnp.zeros((cap,), jnp.int32).at[0].set(settings.num_lods)
+    valid = jnp.zeros((cap,), bool).at[0].set(True)
+    return SelectedInstances(
+        position=position, extents=extents, lod=lod, valid=valid,
+        count=jnp.int32(1),
+    )
+
+
 def select_all_surfaces(
     settings: TerrainSettings,
     camera_pos: jnp.ndarray,
