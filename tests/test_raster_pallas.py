@@ -52,15 +52,16 @@ def _run_both(eye, target):
 
     z_x, id_x, at_x = raster.rasterize_xla(setup, W, H, tile=(8, 128), batch=64)
 
-    tri_data = raster_pallas.pack_tri_data(setup, I, T)
-    bbox, usable = raster_pallas.instance_screen_bbox(
+    packed = raster_pallas.pack_tri_data(setup, I, T, tri_batch=64)
+    bbox, usable, dist = raster_pallas.instance_screen_bbox(
         vout.world, vc["world_to_clip"], W, H, inst.valid
     )
     work = raster_pallas.build_work_list(
-        bbox, usable, W, H, tile=128, tris_per_inst=T, max_work=256
+        bbox, usable, W, H, tile=128, tris_per_inst=T, max_work=256,
+        order_key=dist,
     )
     z_p, id_p, at_p, _ = raster_pallas.rasterize_pallas(
-        tri_data, work, W, H, tile=128, sub_h=8, tri_batch=64,
+        packed, work, W, H, tile=128, sub_h=8, tri_batch=64,
         max_work=256, interpret=True,
     )
     return (z_x, id_x, at_x), (z_p, id_p, at_p), inst
@@ -98,12 +99,12 @@ def test_pallas_matches_xla_oracle_oblique_view():
 
 def test_work_list_structure():
     inst, vout, setup, vc = _scene([0.0, 20.0, 40.0], [0.0, 0.0, 0.0])
-    bbox, usable = raster_pallas.instance_screen_bbox(
+    bbox, usable, dist = raster_pallas.instance_screen_bbox(
         vout.world, vc["world_to_clip"], W, H, inst.valid
     )
     work = raster_pallas.build_work_list(
         bbox, usable, W, H, tile=128, tris_per_inst=SET.tris_per_instance,
-        max_work=256,
+        max_work=256, order_key=dist,
     )
     meta = np.asarray(work.meta)
     n = int(work.num_items)

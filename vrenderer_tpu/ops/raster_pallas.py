@@ -1,37 +1,40 @@
 """TPU fast-path rasterizer: a fused Pallas kernel.
 
 Replaces the reference's hardware rasterization + depth test behind
-drawIndexed (TerrainPass.cpp:215-222) with a single Pallas kernel that is
-shaped entirely by measured v5e costs (no scatter ~0.15G el/s, no gather,
-no global sort ~2.8ms/1.5M — all poison; dense VPU/MXU work is cheap).
+drawIndexed (TerrainPass.cpp:215-222) with a single Pallas kernel shaped
+entirely by measured v5e costs (scatter ~0.15G el/s, gather ~0.15G el/s,
+sort 2.8ms/1.5M — all banned from the frame path; MXU matmuls at
+198 TFLOP/s are nearly free).
 
 Structure:
 
-* Screen is divided into 128x128-pixel supertiles. Instances (terrain
-  patches) are binned to supertiles by screen bbox with a cheap dense
-  [instances x supertiles] overlap test + compaction into a flat,
-  supertile-major WORK LIST of (supertile, instance) pairs — a few
-  thousand elements, built with one tiny cumsum/scatter in XLA.
-* The kernel runs one grid step per work item. Scalar-prefetched work
-  metadata drives the input index_map, so each step DMAs exactly one
-  instance's triangle-setup block (block-sparse pattern). Consecutive
-  steps share the same supertile, so the z/id/attribute output blocks
-  stay resident in VMEM across the whole group (Pallas revisiting).
-* Inside a step: the instance's triangles are processed in batches of
-  TRI_BATCH against each 8x128 subtile the batch's bbox overlaps
-  (predicated with pl.when). A batch-vs-subtile evaluation is pure
-  VPU/MXU work over [TRI_BATCH, 8, 128] blocks: affine edge/depth
-  evaluation by broadcast FMA, coverage masking, min + masked-iota-min
-  for a deterministic (z, lowest-id) winner, and a one-hot [pixels x
-  tris] @ [tris x 27] MXU matmul that swaps the winner's interpolation
-  PLANE COEFFICIENTS into a per-pixel accumulator. Attributes therefore
-  resolve in the same pass as depth — no second geometry sweep, no
-  per-pixel gather. At the group's last work item the accumulated planes
-  are evaluated at pixel coordinates and written out.
+* Screen is divided into 128x128-pixel supertiles. Instances are binned
+  to supertiles by screen bbox ([instances x supertiles] dense overlap +
+  cumsum compaction) into a flat, supertile-major work list ordered
+  near-to-far within each tile (so early-z can reject occluded batches).
+* One grid step per work item. Scalar-prefetched metadata drives the
+  input index_maps (block-sparse DMA of one instance's triangle data);
+  consecutive steps share a supertile so its z/id/coefficient state stays
+  VMEM-resident.
+* Edge/depth evaluation rides the MXU: each 128-triangle batch's 12
+  affine coefficients (3 edges + z plane) are multiplied once per batch
+  against a constant block-diagonal SUBTILE-RELATIVE pixel matrix
+  (48 x 4*1024), yielding all edge/z values for every pixel position of
+  an 8x128 subtile at once; per subtile only a (128, 4) origin-offset
+  matmul and broadcast-adds remain. The VPU does just the
+  coverage/min/merge chain (~8 passes over (128, 1024)).
+* Attributes resolve in the same pass: a one-hot [27 x 128-tri] @
+  [128 x 1024-px] MXU matmul swaps the depth winner's interpolation
+  PLANE COEFFICIENTS into the per-pixel accumulator (exactly-one-hot via
+  masked-iota-min; ties break to the lowest triangle id).
+* Per-batch screen bboxes and conservative z-ranges are precomputed
+  host-side (pack_tri_data) and scalar-compared in-kernel: batches skip
+  subtiles they do not touch, and early-z rejects batches strictly behind
+  a fully-covered subtile.
 
-Depth convention matches ops/raster.py (and the reference's
-LessOrEqual / GreaterOrEqual PipelineKey bits, TerrainPass.cpp:478-482).
-Semantics are oracle-tested against ops/raster.rasterize_xla.
+Depth convention matches ops/raster.py (the reference's LessOrEqual /
+GreaterOrEqual PipelineKey bits, TerrainPass.cpp:478-482). Semantics are
+oracle-tested against ops/raster.rasterize_xla.
 """
 
 from __future__ import annotations
@@ -49,34 +52,80 @@ from vrenderer_tpu.ops.raster import TriSetup, F32_FAR
 # packed tri-data rows (last axis of the [I, T, 48] block)
 _R_EDGE = 0          # 9: three edges x (a, b, c)
 _R_Z = 9             # 3: z plane
-_R_COEF = 12         # 27: [inv_w, attr0..7] planes x (a, b, c)
+_R_COEF = 12         # 27: [inv_w, attr0..7] planes, SoA (a[9], b[9], c[9])
 _R_VALID = 39        # 1
 _R_BBOX = 40         # 4: x0, y0, x1, y1 (pixels)
 _R_TOTAL = 48
 
+# batch-meta rows (per 128-triangle batch): bbox + z range
+_BM_COLS = 8         # x0, y0, x1, y1, zmin, zmax, pad, pad
+
 NUM_COEF = 27        # inv_w + 8 attrs, 3 coefficients each
-_BIG_ID = jnp.int32(2**31 - 1)
+_FAR = 3.0e38
+_BIG_ID = 2**31 - 1
 
 
-def pack_tri_data(setup: TriSetup, num_instances: int, tris_per_inst: int) -> jnp.ndarray:
-    """TriSetup (flat I*T) -> [I, T, 48] f32 block-sparse layout."""
+class PackedTris(NamedTuple):
+    tri_data: jnp.ndarray     # (I, T, 48) f32
+    batch_meta: jnp.ndarray   # (I, n_batch, 8) f32
+
+
+def pack_tri_data(
+    setup: TriSetup, num_instances: int, tris_per_inst: int,
+    tri_batch: int = 128,
+) -> PackedTris:
+    """TriSetup (flat I*T) -> block-sparse kernel layout + batch metadata.
+
+    Invalid triangles (w <= eps, degenerate, culled) can carry inf/NaN
+    coefficients; they are zeroed so the kernel's one-hot coefficient
+    matmul (which contracts the whole batch) never sees NaN.
+    """
     n = num_instances * tris_per_inst
     ok = setup.valid[:, None]
-    # Invalid triangles (w <= eps, degenerate, culled) can carry inf/NaN
-    # plane coefficients; zero them so the kernel's one-hot coefficient
-    # matmul (which contracts over the whole batch) never sees NaN.
     edge = jnp.where(ok, setup.edge.reshape(n, 9), 0.0)
     planes3 = jnp.where(ok[:, :, None], setup.planes, 0.0)  # (n, 10, 3)
     z = planes3[:, 0, :]
-    # coefficient rows stored structure-of-arrays: [a0..a8, b0..b8, c0..c8]
-    # so the kernel's finalize reads contiguous slices (strided sublane
-    # slices lower to unsupported gathers in Mosaic)
+    # coefficient rows structure-of-arrays: strided sublane slices lower
+    # to unsupported gathers in Mosaic
     coef = jnp.swapaxes(planes3[:, 1:10, :], 1, 2).reshape(n, 27)
     valid = setup.valid.astype(jnp.float32)[:, None]
     bbox = jnp.where(ok, setup.bbox, 0.0)
     pad = jnp.zeros((n, _R_TOTAL - 44), jnp.float32)
     packed = jnp.concatenate([edge, z, coef, valid, bbox, pad], axis=1)
-    return packed.reshape(num_instances, tris_per_inst, _R_TOTAL)
+    tri_data = packed.reshape(num_instances, tris_per_inst, _R_TOTAL)
+
+    # per-batch conservative screen bbox + z range (for in-kernel skips)
+    nb = tris_per_inst // tri_batch
+    vb = setup.valid.reshape(num_instances, nb, tri_batch)
+    bb = setup.bbox.reshape(num_instances, nb, tri_batch, 4)
+    big = jnp.where(ok, setup.bbox, jnp.asarray(
+        [_FAR, _FAR, -_FAR, -_FAR], jnp.float32)
+    ).reshape(num_instances, nb, tri_batch, 4)
+    bx0 = jnp.min(big[..., 0], axis=-1)
+    by0 = jnp.min(big[..., 1], axis=-1)
+    bx1 = jnp.max(big[..., 2], axis=-1)
+    by1 = jnp.max(big[..., 3], axis=-1)
+    del bb
+    # conservative batch z-range from the z plane evaluated at bbox
+    # corners of each tri (z is affine, extrema at corners)
+    zp = jnp.where(ok, setup.planes[:, 0, :], 0.0).reshape(
+        num_instances, nb, tri_batch, 3
+    )
+    tb = setup.bbox.reshape(num_instances, nb, tri_batch, 4)
+    zs = []
+    for xi, yi in ((0, 1), (0, 3), (2, 1), (2, 3)):
+        zs.append(zp[..., 0] * tb[..., xi] + zp[..., 1] * tb[..., yi]
+                  + zp[..., 2])
+    zc = jnp.stack(zs, axis=-1)  # (I, nb, B, 4)
+    zmin_t = jnp.where(vb, jnp.min(zc, -1), _FAR)
+    zmax_t = jnp.where(vb, jnp.max(zc, -1), -_FAR)
+    bzmin = jnp.min(zmin_t, axis=-1)
+    bzmax = jnp.max(zmax_t, axis=-1)
+    zero = jnp.zeros_like(bx0)
+    batch_meta = jnp.stack(
+        [bx0, by0, bx1, by1, bzmin, bzmax, zero, zero], axis=-1
+    )
+    return PackedTris(tri_data=tri_data, batch_meta=batch_meta)
 
 
 class WorkList(NamedTuple):
@@ -84,24 +133,18 @@ class WorkList(NamedTuple):
     base_id, item_valid, tile_y, tile_x."""
 
     meta: jnp.ndarray       # (8, MAX_WORK) int32
-    num_items: jnp.ndarray  # () int32 (pre-clamp; > MAX_WORK means overflow)
+    num_items: jnp.ndarray  # () int32 (> MAX_WORK means overflow/drop)
 
 
 def instance_screen_bbox(
     world: jnp.ndarray, world_to_clip: jnp.ndarray, width: int, height: int,
     inst_valid: jnp.ndarray, w_eps: float = 1e-4,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Conservative per-instance pixel bbox from its lattice vertices.
-
-    Only vertices in front of the near plane (w > eps) contribute:
-    triangles touching any w <= eps vertex are culled by setup_triangles
-    and never rasterize, so the renderable extent is covered by the
-    in-front vertex set. (This matters: quadtree nodes emitted by their
-    parent are not frustum-tested — QuadTree.cpp:122-126 — and routinely
-    sit behind the camera; a full-screen fallback bbox for them floods
-    the raster work list.)
-    Returns (bbox (I, 4) f32, usable (I,) bool).
-    """
+):
+    """Conservative per-instance pixel bbox over in-front vertices only
+    (triangles touching any w <= eps vertex are culled by setup, so this
+    covers everything renderable; parent-emitted quadtree nodes are not
+    frustum-tested — QuadTree.cpp:122-126 — and often sit behind the
+    camera). Returns (bbox (I, 4), usable (I,), mean_dist (I,))."""
     from vrenderer_tpu.utils import math3d
 
     I = world.shape[0]
@@ -116,7 +159,13 @@ def instance_screen_bbox(
     y1 = jnp.max(jnp.where(front, xy[..., 1], -big), axis=1)
     on = (x1 >= 0) & (y1 >= 0) & (x0 < width) & (y0 < height)
     any_front = jnp.any(front, axis=1)
-    return jnp.stack([x0, y0, x1, y1], axis=-1), inst_valid & on & any_front
+    # camera distance proxy (clip w ~ view depth) for near-to-far ordering
+    dist = jnp.where(front, clip[..., 3], big).min(axis=1)
+    return (
+        jnp.stack([x0, y0, x1, y1], axis=-1),
+        inst_valid & on & any_front,
+        dist,
+    )
 
 
 def build_work_list(
@@ -126,13 +175,25 @@ def build_work_list(
     tile: int = 128,
     tris_per_inst: int = 2048,
     max_work: int = 2048,
+    order_key: jnp.ndarray | None = None,  # (I,) ascending processing order
 ) -> WorkList:
     """Supertile-major (st, instance) pairs, one leading dummy per
-    supertile (carries the buffer-init flag even for empty tiles)."""
+    supertile. With order_key (camera distance), instances are emitted
+    near-to-far within each tile so early-z culls occluded batches."""
     tiles_x = -(-width // tile)
     tiles_y = -(-height // tile)
     n_st = tiles_x * tiles_y
     I = bbox.shape[0]
+
+    if order_key is not None:
+        perm = jnp.argsort(
+            jnp.where(usable, order_key, jnp.float32(jnp.inf))
+        ).astype(jnp.int32)
+        bbox = bbox[perm]
+        usable = usable[perm]
+        inst_ids = perm
+    else:
+        inst_ids = jnp.arange(I, dtype=jnp.int32)
 
     st = jnp.arange(n_st, dtype=jnp.int32)
     tx = (st % tiles_x).astype(jnp.float32) * tile
@@ -145,7 +206,6 @@ def build_work_list(
         & usable[None, :]
     )  # (n_st, I)
 
-    # prepend a dummy column: always-present first entry per supertile
     full = jnp.concatenate([jnp.ones((n_st, 1), bool), ovl], axis=1)
     flat = full.reshape(-1)
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
@@ -153,9 +213,10 @@ def build_work_list(
     target = jnp.where(flat & (pos < max_work), pos, max_work)
 
     st_of = jnp.broadcast_to(st[:, None], (n_st, I + 1)).reshape(-1)
-    inst_of = jnp.broadcast_to(
-        jnp.arange(-1, I, dtype=jnp.int32)[None, :], (n_st, I + 1)
-    ).reshape(-1)
+    inst_col = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), inst_ids]
+    )
+    inst_of = jnp.broadcast_to(inst_col[None, :], (n_st, I + 1)).reshape(-1)
 
     def scat(vals, fill):
         out = jnp.full((max_work + 1,), fill, jnp.int32)
@@ -172,7 +233,7 @@ def build_work_list(
     next_st = jnp.concatenate([w_st[1:], jnp.full((1,), -2, jnp.int32)])
     next_in_range = jnp.concatenate([in_range[1:], jnp.zeros((1,), bool)])
     first = (w_st != prev_st) & in_range
-    # padding items reuse st = n_st-1, so a group also ends where the next
+    # padding items reuse st = n_st-1: a group also ends where the next
     # item falls out of range
     last = ((w_st != next_st) | ~next_in_range) & in_range
     base_id = jnp.maximum(w_inst, 0) * tris_per_inst
@@ -195,10 +256,15 @@ def build_work_list(
 def _raster_kernel(
     meta_ref,     # scalar prefetch (8, MAX_WORK) int32
     tri_ref,      # (1, T, 48) one instance's packed tris
-    z_ref,        # (TILE, TILE)
-    id_ref,       # (TILE, TILE) int32
-    attr_ref,     # (16, TILE, TILE)
-    coef_acc,     # scratch (16, 32, 1024): per-subtile [27, 8*128] coefs
+    bm_ref,       # (1, n_batch, 8) batch metadata
+    z_ref,        # (TILE, TILE) out
+    id_ref,       # (TILE, TILE) int32 out
+    attr_ref,     # (16, TILE, TILE) out
+    z_scr,        # scratch (n_sub, sub_px) f32 — lane-major subtile depth
+    id_scr,       # scratch (n_sub, sub_px) i32
+    coef_acc,     # scratch (n_sub, 32, sub_px) f32
+    zmax_scr,     # scratch SMEM (n_sub,) f32 — per-subtile max depth
+    rhs_rel,      # scratch (48, 4 * sub_px) f32 — block-diag pixel matrix
     *,
     tile: int,
     sub_h: int,
@@ -217,146 +283,164 @@ def _raster_kernel(
 
     n_sub = tile // sub_h
     n_batch = tris_per_inst // tri_batch
-    far = 3.0e38
-    worst = -far if reverse_z else far
-    big_id = 2**31 - 1
+    P = sub_h * tile
+    worst = -_FAR if reverse_z else _FAR
+    B = tri_batch
 
     x0f = tx.astype(jnp.float32) * tile
     y0f = ty.astype(jnp.float32) * tile
 
-    @pl.when(first == 1)
-    def _init():
-        z_ref[:] = jnp.full((tile, tile), worst, jnp.float32)
-        id_ref[:] = jnp.full((tile, tile), big_id, jnp.int32)
-        coef_acc[:] = jnp.zeros_like(coef_acc)
+    # one-time constants for the whole launch (scratch persists across
+    # the sequential grid): the block-diagonal subtile-relative pixel
+    # matrix RHS[row, q*P + p] for quantities q in (e0, e1, e2, z):
+    #   row == 3q     -> dx(p)   (pixel x within the subtile, + .5)
+    #   row == 3q + 1 -> dy(p)
+    #   row == 3q + 2 -> 0       (the constant term lives in the per-
+    #                             subtile origin offset E0)
+    @pl.when(w == 0)
+    def _init_consts():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (48, 4 * P), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (48, 4 * P), 1)
+        q = cols // P
+        p = cols % P
+        dx = (p % tile).astype(jnp.float32) + 0.5
+        dy = (p // tile).astype(jnp.float32) + 0.5
+        r = rows - 3 * q
+        rhs_rel[:] = jnp.where(
+            (rows < 12) & (r == 0), dx,
+            jnp.where((rows < 12) & (r == 1), dy, jnp.float32(0.0)),
+        )
 
-    # pixel-center coordinate fields for one subtile, (B-broadcastable)
-    # (tpu.iota is integer-only; cast after)
-    ysub = jax.lax.broadcasted_iota(
-        jnp.int32, (1, sub_h, tile), 1
-    ).astype(jnp.float32) + 0.5
-    xsub = jax.lax.broadcasted_iota(
-        jnp.int32, (1, sub_h, tile), 2
-    ).astype(jnp.float32) + 0.5
-    tri_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (tri_batch, sub_h, tile), 0
-    )
+    @pl.when(first == 1)
+    def _init_tile():
+        z_scr[:] = jnp.full((n_sub, P), worst, jnp.float32)
+        id_scr[:] = jnp.full((n_sub, P), _BIG_ID, jnp.int32)
+        coef_acc[:] = jnp.zeros_like(coef_acc)
+        # zmax starts at the far sentinel so early-z never rejects until
+        # the subtile is fully covered
+        for s in range(n_sub):
+            zmax_scr[s] = jnp.float32(_FAR if not reverse_z else -_FAR)
+
+    tri_iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 0)
 
     @pl.when(item_valid == 1)
     def _process():
         for b in range(n_batch):
-            blk = tri_ref[0, b * tri_batch:(b + 1) * tri_batch, :]  # (B, 48)
-            live = blk[:, _R_VALID] > 0.0  # (B,)
-            bb = blk[:, _R_BBOX:_R_BBOX + 4]  # (B, 4)
-            big = jnp.where(live[:, None], bb, jnp.float32(0.0))
-            # batch-level conservative bbox (only over live tris)
-            bx0 = jnp.min(jnp.where(live, bb[:, 0], far))
-            by0 = jnp.min(jnp.where(live, bb[:, 1], far))
-            bx1 = jnp.max(jnp.where(live, bb[:, 2], -far))
-            by1 = jnp.max(jnp.where(live, bb[:, 3], -far))
-            del big
-            batch_hits_x = (bx0 <= x0f + (tile - 1)) & (bx1 >= x0f)
+            bx0 = bm_ref[0, b, 0]
+            by0 = bm_ref[0, b, 1]
+            bx1 = bm_ref[0, b, 2]
+            by1 = bm_ref[0, b, 3]
+            bzmin = bm_ref[0, b, 4]
+            bzmax = bm_ref[0, b, 5]
+            tile_hit = (
+                (bx0 <= x0f + (tile - 1)) & (bx1 >= x0f)
+                & (by0 <= y0f + (tile - 1)) & (by1 >= y0f)
+            )
 
-            for s in range(n_sub):
-                sy0 = y0f + s * sub_h
-                hit = (
-                    batch_hits_x
-                    & (by0 <= sy0 + (sub_h - 1))
-                    & (by1 >= sy0)
-                )
+            @pl.when(tile_hit)
+            def _batch(b=b, bx0=bx0, by0=by0, bx1=bx1, by1=by1,
+                       bzmin=bzmin, bzmax=bzmax):
+                blk = tri_ref[0, b * B:(b + 1) * B, :]  # (B, 48)
+                # all edge/z values at subtile-relative pixel positions,
+                # one MXU matmul for the whole batch
+                erel = jax.lax.dot_general(
+                    blk, rhs_rel[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (B, 4P)
+                live = blk[:, _R_VALID:_R_VALID + 1] > 0.0  # (B, 1)
+                coefs = blk[:, _R_COEF:_R_COEF + NUM_COEF]  # (B, 27)
 
-                @pl.when(hit)
-                def _eval(b=b, s=s, blk=blk, live=live):
-                    px = xsub + x0f                    # (1, 8, 128)
-                    py = ysub + (y0f + s * sub_h)
+                for s in range(n_sub):
+                    sy0 = y0f + s * sub_h
+                    sub_hit = (by0 <= sy0 + (sub_h - 1)) & (by1 >= sy0)
+                    # non-strict so exact-z ties still resolve to the
+                    # lowest triangle id (oracle determinism)
+                    if reverse_z:
+                        early = bzmax >= zmax_scr[s]
+                    else:
+                        early = bzmin <= zmax_scr[s]
 
-                    def affine(col):
-                        a = blk[:, col][:, None, None]
-                        bc = blk[:, col + 1][:, None, None]
-                        c = blk[:, col + 2][:, None, None]
-                        return a * px + bc * py + c    # (B, 8, 128)
+                    @pl.when(sub_hit & early)
+                    def _sub(s=s, sy0=sy0, erel=erel, live=live,
+                             coefs=coefs):
+                        # per-quantity offsets at the subtile origin:
+                        # E0_q = a_q x0 + b_q y0 + c_q
+                        def off(base):
+                            return (
+                                blk[:, base:base + 1] * x0f
+                                + blk[:, base + 1:base + 2] * sy0
+                                + blk[:, base + 2:base + 3]
+                            )  # (B, 1)
 
-                    e0 = affine(_R_EDGE)
-                    e1 = affine(_R_EDGE + 3)
-                    e2 = affine(_R_EDGE + 6)
-                    cover = (
-                        (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                        & live[:, None, None]
-                    )
-                    if wire_px > 0.0:
-                        # wireframe fill mode: edges are normalized to
-                        # pixel distance at setup
-                        cover = cover & (
-                            jnp.minimum(e0, jnp.minimum(e1, e2)) <= wire_px
+                        e0 = erel[:, 0 * P:1 * P] + off(_R_EDGE + 0)
+                        e1 = erel[:, 1 * P:2 * P] + off(_R_EDGE + 3)
+                        e2 = erel[:, 2 * P:3 * P] + off(_R_EDGE + 6)
+                        zq = erel[:, 3 * P:4 * P] + off(_R_Z)
+
+                        m = jnp.minimum(e0, jnp.minimum(e1, e2))
+                        cover = (m >= 0.0) & live
+                        if wire_px > 0.0:
+                            cover = cover & (m <= wire_px)
+                        zv = jnp.where(cover, zq, worst)
+
+                        if reverse_z:
+                            z_best = jnp.max(zv, axis=0, keepdims=True)
+                        else:
+                            z_best = jnp.min(zv, axis=0, keepdims=True)
+                        idx = jnp.min(
+                            jnp.where(zv == z_best, tri_iota, B), axis=0,
+                            keepdims=True,
+                        )  # (1, P)
+                        covered = idx < B
+                        gid = jnp.where(
+                            covered, base_id + b * B + idx, _BIG_ID
                         )
-                    zv = affine(_R_Z)
-                    zv = jnp.where(cover, zv, worst)
 
-                    if reverse_z:
-                        z_best = jnp.max(zv, axis=0)   # (8, 128)
-                    else:
-                        z_best = jnp.min(zv, axis=0)
-                    win = zv == z_best[None, :, :]
-                    # deterministic lowest-index winner
-                    idx = jnp.min(
-                        jnp.where(win, tri_iota, jnp.int32(tris_per_inst)),
-                        axis=0,
-                    )  # (8, 128)
-                    onehot = (tri_iota == idx[None, :, :]).astype(jnp.float32)
+                        zs = z_scr[s:s + 1, :]
+                        ids = id_scr[s:s + 1, :]
+                        if reverse_z:
+                            better = z_best > zs
+                        else:
+                            better = z_best < zs
+                        upd = covered & (
+                            better | ((z_best == zs) & (gid < ids))
+                        )
 
-                    covered = idx < tris_per_inst
-                    gid = jnp.where(
-                        covered, base_id + b * tri_batch + idx, big_id
-                    )
-
-                    zs = z_ref[s * sub_h:(s + 1) * sub_h, :]
-                    ids = id_ref[s * sub_h:(s + 1) * sub_h, :]
-                    if reverse_z:
-                        better = z_best > zs
-                    else:
-                        better = z_best < zs
-                    upd = covered & (better | ((z_best == zs) & (gid < ids)))
-
-                    # winner's 27 interpolation coefficients via one MXU
-                    # matmul: [27, B] @ [B, P]
-                    coefs = blk[:, _R_COEF:_R_COEF + NUM_COEF]  # (B, 27)
-                    oh = onehot.reshape(tri_batch, sub_h * tile)
-                    # HIGHEST: default MXU precision truncates the f32
-                    # coefficients to bf16 (measured 0.67 abs attr error)
-                    new_coef = jax.lax.dot_general(
-                        coefs, oh, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # (27, P)
-                    # bool reshapes (sublane->lane relayout on i1) are
-                    # unsupported in Mosaic; go through f32
-                    updf = upd.astype(jnp.float32).reshape(
-                        1, sub_h * tile
-                    ) > 0.5
-                    acc = coef_acc[s, 0:NUM_COEF, :]
-                    coef_acc[s, 0:NUM_COEF, :] = jnp.where(
-                        updf, new_coef, acc
-                    )
-                    z_ref[s * sub_h:(s + 1) * sub_h, :] = jnp.where(
-                        upd, z_best, zs
-                    )
-                    id_ref[s * sub_h:(s + 1) * sub_h, :] = jnp.where(
-                        upd, gid, ids
-                    )
+                        onehot = (tri_iota == idx).astype(jnp.float32)
+                        new_coef = jax.lax.dot_general(
+                            coefs, onehot, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # (27, P)
+                        acc = coef_acc[s, 0:NUM_COEF, :]
+                        coef_acc[s, 0:NUM_COEF, :] = jnp.where(
+                            upd, new_coef, acc
+                        )
+                        z_new = jnp.where(upd, z_best, zs)
+                        z_scr[s:s + 1, :] = z_new
+                        id_scr[s:s + 1, :] = jnp.where(upd, gid, ids)
+                        # track the subtile's worst (farthest) depth for
+                        # early-z; stays FAR until fully covered
+                        if reverse_z:
+                            zmax_scr[s] = jnp.min(z_new)
+                        else:
+                            zmax_scr[s] = jnp.max(z_new)
 
     @pl.when(last == 1)
     def _finalize():
+        z_ref[:] = z_scr[:].reshape(tile, tile)
+        idf = pltpu.bitcast(id_scr[:], jnp.float32)
+        id_ref[:] = pltpu.bitcast(idf.reshape(tile, tile), jnp.int32)
         for s in range(n_sub):
             sy0 = y0f + s * sub_h
-            px = (xsub + x0f).reshape(1, sub_h * tile)
-            py = (ysub + sy0).reshape(1, sub_h * tile)
-            coef = coef_acc[s, 0:NUM_COEF, :]  # (27, P), SoA: a[9];b[9];c[9]
-            a = coef[0:9, :]
-            bcf = coef[9:18, :]
-            c = coef[18:27, :]
-            vals = a * px + bcf * py + c       # (9, P)
+            dxl = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+            px = (dxl % tile).astype(jnp.float32) + 0.5 + x0f
+            py = (dxl // tile).astype(jnp.float32) + 0.5 + sy0
+            coef = coef_acc[s, 0:NUM_COEF, :]  # SoA: a[9]; b[9]; c[9]
+            vals = coef[0:9, :] * px + coef[9:18, :] * py + coef[18:27, :]
             out = jnp.concatenate(
-                [vals, jnp.zeros((7, sub_h * tile), jnp.float32)], axis=0
+                [vals, jnp.zeros((7, P), jnp.float32)], axis=0
             )
             attr_ref[:, s * sub_h:(s + 1) * sub_h, :] = out.reshape(
                 16, sub_h, tile
@@ -371,7 +455,7 @@ def _raster_kernel(
     ),
 )
 def rasterize_pallas(
-    tri_data: jnp.ndarray,     # (I, T, 48) packed setup
+    packed: PackedTris,
     work: WorkList,
     width: int,
     height: int,
@@ -384,21 +468,24 @@ def rasterize_pallas(
     wire_px: float = 0.0,
 ):
     """Returns (z (H, W), id (H, W) i32 [-1 = background], attrs (H, W, 8),
-    inv_w (H, W)). H/W are padded up to tile multiples then cropped."""
+    inv_w (H, W)). H/W are padded to tile multiples then cropped."""
+    tri_data = packed.tri_data
+    batch_meta = packed.batch_meta
     I, T, C = tri_data.shape
     assert C == _R_TOTAL
+    n_batch = T // tri_batch
     pad_w = -(-width // tile) * tile
     pad_h = -(-height // tile) * tile
-    tiles_x = pad_w // tile
-    tiles_y = pad_h // tile
+    n_sub = tile // sub_h
+    P = sub_h * tile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(max_work,),
         in_specs=[
+            pl.BlockSpec((1, T, _R_TOTAL), lambda w, meta: (meta[1, w], 0, 0)),
             pl.BlockSpec(
-                (1, T, _R_TOTAL),
-                lambda w, meta: (meta[1, w], 0, 0),
+                (1, n_batch, _BM_COLS), lambda w, meta: (meta[1, w], 0, 0)
             ),
         ],
         out_specs=[
@@ -409,7 +496,11 @@ def rasterize_pallas(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile // sub_h, 32, sub_h * tile), jnp.float32),
+            pltpu.VMEM((n_sub, P), jnp.float32),
+            pltpu.VMEM((n_sub, P), jnp.int32),
+            pltpu.VMEM((n_sub, 32, P), jnp.float32),
+            pltpu.SMEM((n_sub,), jnp.float32),
+            pltpu.VMEM((48, 4 * P), jnp.float32),
         ],
     )
 
@@ -431,7 +522,7 @@ def rasterize_pallas(
             jax.ShapeDtypeStruct((16, pad_h, pad_w), jnp.float32),
         ],
         interpret=interpret,
-    )(work.meta, tri_data)
+    )(work.meta, tri_data, batch_meta)
 
     z = z[:height, :width]
     idb = idb[:height, :width]

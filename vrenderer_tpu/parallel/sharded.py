@@ -119,10 +119,11 @@ def render_frames_sharded(
             prim_id = prim_id[:band_h, :cfg.width]
             attrs = attrs[:band_h, :cfg.width]
         else:
-            tri_data = raster_pallas.pack_tri_data(
-                setup_b, ts.max_instances, ts.tris_per_instance
+            packed = raster_pallas.pack_tri_data(
+                setup_b, ts.max_instances, ts.tris_per_instance,
+                tri_batch=cfg.raster.tri_batch,
             )
-            bbox_i, usable = raster_pallas.instance_screen_bbox(
+            bbox_i, usable, dist = raster_pallas.instance_screen_bbox(
                 vout.world, vc["world_to_clip"], cfg.width, cfg.height,
                 instances.valid,
             )
@@ -133,9 +134,10 @@ def render_frames_sharded(
                 tile=cfg.raster.tile_w,
                 tris_per_inst=ts.tris_per_instance,
                 max_work=renderer.max_work,
+                order_key=dist,
             )
             z, prim_id, attrs, _ = raster_pallas.rasterize_pallas(
-                tri_data, work, cfg.width, band_h,
+                packed, work, cfg.width, band_h,
                 tile=cfg.raster.tile_w, sub_h=cfg.raster.subtile_h,
                 tri_batch=cfg.raster.tri_batch,
                 max_work=renderer.max_work,

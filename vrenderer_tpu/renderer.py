@@ -178,28 +178,31 @@ class Renderer:
             prim_id = prim_id[:cfg.height, :cfg.width]
             attrs = attrs[:cfg.height, :cfg.width]
         else:
-            tri_data = raster_pallas.pack_tri_data(
-                setup, ts.max_instances + n_scene, ts.tris_per_instance
+            packed = raster_pallas.pack_tri_data(
+                setup, ts.max_instances + n_scene, ts.tris_per_instance,
+                tri_batch=cfg.raster.tri_batch,
             )
-            bbox, usable = raster_pallas.instance_screen_bbox(
+            bbox, usable, dist = raster_pallas.instance_screen_bbox(
                 vout.world, vc["world_to_clip"], cfg.width, cfg.height,
                 instances.valid,
             )
             if n_scene:
-                s_bbox, s_usable = raster_pallas.instance_screen_bbox(
+                s_bbox, s_usable, s_dist = raster_pallas.instance_screen_bbox(
                     self._scene_world, vc["world_to_clip"],
                     cfg.width, cfg.height, jnp.ones((n_scene,), bool),
                 )
                 bbox = jnp.concatenate([bbox, s_bbox])
                 usable = jnp.concatenate([usable, s_usable])
+                dist = jnp.concatenate([dist, s_dist])
             work = raster_pallas.build_work_list(
                 bbox, usable, cfg.width, cfg.height,
                 tile=cfg.raster.tile_w,
                 tris_per_inst=ts.tris_per_instance,
                 max_work=self.max_work,
+                order_key=dist,
             )
             z, prim_id, attrs, _ = raster_pallas.rasterize_pallas(
-                tri_data, work, cfg.width, cfg.height,
+                packed, work, cfg.width, cfg.height,
                 tile=cfg.raster.tile_w, sub_h=cfg.raster.subtile_h,
                 tri_batch=cfg.raster.tri_batch,
                 reverse_z=cfg.raster.reverse_z,
