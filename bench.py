@@ -29,7 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FPS = 120.0  # north-star target (BASELINE.json / BASELINE.md)
 
-WIDTH, HEIGHT = 1920, 1152  # 1080p padded to whole 128px supertile rows
+# default: 1080p padded to whole 128px supertile rows (BASELINE config 2);
+# --mode 4k switches to BASELINE config 5 (and prints per-pass counters
+# to stderr)
+if "--mode" in sys.argv and "4k" in sys.argv:
+    WIDTH, HEIGHT = 3840, 2176
+else:
+    WIDTH, HEIGHT = 1920, 1152
 
 
 def build():
@@ -85,8 +91,26 @@ def main():
     tl = min(timed(f_long)[0] for _ in range(3))
     per_frame = max((tl - ts) / (long_n - short_n), 1e-6)
     fps = 1.0 / per_frame
+    is_4k = HEIGHT > 1200
+    if is_4k:
+        # BASELINE config 5: per-pass counters alongside the headline
+        try:
+            from vrenderer_tpu.app import App
+            from vrenderer_tpu.config import FrameConfig, TerrainSettings
+
+            app = App(
+                FrameConfig(width=WIDTH, height=HEIGHT,
+                            terrain=TerrainSettings(max_instances=1024)),
+                raster_backend=renderer.raster_backend,
+            )
+            app.renderer = renderer
+            timer = app.profile_passes()
+            print(timer.table(), file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"per-pass profiling failed: {e}", file=sys.stderr)
     print(json.dumps({
-        "metric": "terrain_flythrough_1080p_fps",
+        "metric": "terrain_flythrough_4k_fps" if is_4k
+        else "terrain_flythrough_1080p_fps",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
