@@ -325,6 +325,14 @@ def _raster_kernel(
 
     @pl.when(item_valid == 1)
     def _process():
+        # refresh per-subtile far bounds once per item: early-z only needs
+        # a conservative (stale-high) value, and the lane->scalar reduce is
+        # too expensive per evaluation
+        for s in range(n_sub):
+            if reverse_z:
+                zmax_scr[s] = jnp.min(z_scr[s, :])
+            else:
+                zmax_scr[s] = jnp.max(z_scr[s, :])
         for b in range(n_batch):
             bx0 = bm_ref[0, b, 0]
             by0 = bm_ref[0, b, 1]
@@ -420,12 +428,6 @@ def _raster_kernel(
                         z_new = jnp.where(upd, z_best, zs)
                         z_scr[s:s + 1, :] = z_new
                         id_scr[s:s + 1, :] = jnp.where(upd, gid, ids)
-                        # track the subtile's worst (farthest) depth for
-                        # early-z; stays FAR until fully covered
-                        if reverse_z:
-                            zmax_scr[s] = jnp.min(z_new)
-                        else:
-                            zmax_scr[s] = jnp.max(z_new)
 
     @pl.when(last == 1)
     def _finalize():
