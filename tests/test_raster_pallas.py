@@ -58,7 +58,7 @@ def _run_both(eye, target):
     )
     work = raster_pallas.build_work_list(
         bbox, usable, W, H, tile=128, tris_per_inst=T, max_work=256,
-        order_key=dist,
+        order_key=dist, batch_meta=packed.batch_meta,
     )
     z_p, id_p, at_p, _ = raster_pallas.rasterize_pallas(
         packed, work, W, H, tile=128, sub_h=8, tri_batch=64,
@@ -102,9 +102,12 @@ def test_work_list_structure():
     bbox, usable, dist = raster_pallas.instance_screen_bbox(
         vout.world, vc["world_to_clip"], W, H, inst.valid
     )
+    packed2 = raster_pallas.pack_tri_data(
+        setup, SET.max_instances, SET.tris_per_instance
+    )
     work = raster_pallas.build_work_list(
         bbox, usable, W, H, tile=128, tris_per_inst=SET.tris_per_instance,
-        max_work=256, order_key=dist,
+        max_work=256, order_key=dist, batch_meta=packed2.batch_meta,
     )
     meta = np.asarray(work.meta)
     n = int(work.num_items)

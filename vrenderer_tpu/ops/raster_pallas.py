@@ -129,10 +129,16 @@ def pack_tri_data(
 
 
 class WorkList(NamedTuple):
-    """Flat supertile-major work items. meta rows: st, inst, first, last,
-    base_id, item_valid, tile_y, tile_x."""
+    """Flat supertile-major work items.
 
-    meta: jnp.ndarray       # (8, MAX_WORK) int32
+    meta rows: st, inst, first, last, base_id, item_valid, tile_y, tile_x,
+    b_lo, b_hi (inclusive batch range hitting the tile).
+    sub_range[k, w]: per-(item, batch-k) packed subtile range
+    (s_lo * 64 + s_hi, inclusive; s_lo > s_hi encodes "skip"), so the
+    kernel reads only cheap SMEM scalars in its hot loops."""
+
+    meta: jnp.ndarray       # (10, MAX_WORK) int32
+    sub_range: jnp.ndarray  # (n_batch, MAX_WORK) int32
     num_items: jnp.ndarray  # () int32 (> MAX_WORK means overflow/drop)
 
 
@@ -176,6 +182,8 @@ def build_work_list(
     tris_per_inst: int = 2048,
     max_work: int = 2048,
     order_key: jnp.ndarray | None = None,  # (I,) ascending processing order
+    batch_meta: jnp.ndarray | None = None,  # (I, n_batch, 8) from pack
+    sub_h: int = 8,
 ) -> WorkList:
     """Supertile-major (st, instance) pairs, one leading dummy per
     supertile. With order_key (camera distance), instances are emitted
@@ -238,6 +246,43 @@ def build_work_list(
     last = ((w_st != next_st) | ~next_in_range) & in_range
     base_id = jnp.maximum(w_inst, 0) * tris_per_inst
     item_valid = (w_inst >= 0) & in_range
+
+    # per-item batch/subtile ranges from the per-batch bboxes, so the
+    # kernel's hot loops read only SMEM scalars (VMEM scalar extraction
+    # measured ~1us each — it dominated the first kernel's runtime)
+    if batch_meta is None:
+        n_batch = 1
+        b_lo = jnp.zeros((max_work,), jnp.int32)
+        b_hi = jnp.zeros((max_work,), jnp.int32)
+        sub_range = jnp.zeros((1, max_work), jnp.int32)
+    else:
+        n_batch = batch_meta.shape[1]
+        inst_sel = jnp.maximum(w_inst, 0)
+        bm = batch_meta[inst_sel]                     # (W, n_batch, 8)
+        tx0 = (w_st % tiles_x).astype(jnp.float32) * tile
+        ty0 = (w_st // tiles_x).astype(jnp.float32) * tile
+        hit = (
+            (bm[..., 0] <= tx0[:, None] + (tile - 1))
+            & (bm[..., 2] >= tx0[:, None])
+            & (bm[..., 1] <= ty0[:, None] + (tile - 1))
+            & (bm[..., 3] >= ty0[:, None])
+            & item_valid[:, None]
+        )                                             # (W, n_batch)
+        bidx = jnp.arange(n_batch, dtype=jnp.int32)[None, :]
+        b_lo = jnp.min(jnp.where(hit, bidx, n_batch), axis=1)
+        b_hi = jnp.max(jnp.where(hit, bidx, -1), axis=1)
+        n_sub = tile // sub_h
+        s_lo = jnp.clip(
+            jnp.floor((bm[..., 1] - ty0[:, None]) / sub_h), 0, n_sub - 1
+        ).astype(jnp.int32)
+        s_hi = jnp.clip(
+            jnp.floor((bm[..., 3] - ty0[:, None]) / sub_h), 0, n_sub - 1
+        ).astype(jnp.int32)
+        packed_range = jnp.where(hit, s_lo * 64 + s_hi, jnp.int32(64))
+        sub_range = packed_range.T                    # (n_batch, W)
+        b_lo = jnp.where(item_valid, b_lo, n_batch)
+        b_hi = jnp.where(item_valid, b_hi, -1)
+
     meta = jnp.stack(
         [
             w_st,
@@ -248,22 +293,23 @@ def build_work_list(
             item_valid.astype(jnp.int32),
             w_st // tiles_x,
             w_st % tiles_x,
+            b_lo,
+            b_hi,
         ]
     )
-    return WorkList(meta=meta, num_items=count)
+    return WorkList(meta=meta, sub_range=sub_range, num_items=count)
 
 
 def _raster_kernel(
-    meta_ref,     # scalar prefetch (8, MAX_WORK) int32
+    meta_ref,     # scalar prefetch (10, MAX_WORK) int32
+    srange_ref,   # scalar prefetch (n_batch, MAX_WORK) int32
     tri_ref,      # (1, T, 48) one instance's packed tris
-    bm_ref,       # (1, n_batch, 8) batch metadata
     z_ref,        # (TILE, TILE) out
     id_ref,       # (TILE, TILE) int32 out
     attr_ref,     # (16, TILE, TILE) out
     z_scr,        # scratch (n_sub, sub_px) f32 — lane-major subtile depth
     id_scr,       # scratch (n_sub, sub_px) i32
     coef_acc,     # scratch (n_sub, 32, sub_px) f32
-    zmax_scr,     # scratch SMEM (n_sub,) f32 — per-subtile max depth
     rhs_rel,      # scratch (48, 4 * sub_px) f32 — block-diag pixel matrix
     *,
     tile: int,
@@ -277,12 +323,12 @@ def _raster_kernel(
     first = meta_ref[2, w]
     last = meta_ref[3, w]
     base_id = meta_ref[4, w]
-    item_valid = meta_ref[5, w]
     ty = meta_ref[6, w]
     tx = meta_ref[7, w]
+    b_lo = meta_ref[8, w]
+    b_hi = meta_ref[9, w]
 
     n_sub = tile // sub_h
-    n_batch = tris_per_inst // tri_batch
     P = sub_h * tile
     worst = -_FAR if reverse_z else _FAR
     B = tri_batch
@@ -290,13 +336,13 @@ def _raster_kernel(
     x0f = tx.astype(jnp.float32) * tile
     y0f = ty.astype(jnp.float32) * tile
 
-    # one-time constants for the whole launch (scratch persists across
-    # the sequential grid): the block-diagonal subtile-relative pixel
-    # matrix RHS[row, q*P + p] for quantities q in (e0, e1, e2, z):
-    #   row == 3q     -> dx(p)   (pixel x within the subtile, + .5)
-    #   row == 3q + 1 -> dy(p)
-    #   row == 3q + 2 -> 0       (the constant term lives in the per-
-    #                             subtile origin offset E0)
+    # one-time constant for the whole launch (scratch persists across the
+    # sequential grid): block-diagonal SUBTILE-RELATIVE pixel matrix,
+    # RHS[row, q*P + p] for quantities q in (e0, e1, e2, z):
+    #   row == 3q     -> dx(p) + .5   (pixel x within the subtile)
+    #   row == 3q + 1 -> dy(p) + .5
+    #   row == 3q + 2 -> 0            (constant terms live in the origin
+    #                                  offsets added per subtile)
     @pl.when(w == 0)
     def _init_consts():
         rows = jax.lax.broadcasted_iota(jnp.int32, (48, 4 * P), 0)
@@ -316,118 +362,82 @@ def _raster_kernel(
         z_scr[:] = jnp.full((n_sub, P), worst, jnp.float32)
         id_scr[:] = jnp.full((n_sub, P), _BIG_ID, jnp.int32)
         coef_acc[:] = jnp.zeros_like(coef_acc)
-        # zmax starts at the far sentinel so early-z never rejects until
-        # the subtile is fully covered
-        for s in range(n_sub):
-            zmax_scr[s] = jnp.float32(_FAR if not reverse_z else -_FAR)
 
     tri_iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 0)
 
-    @pl.when(item_valid == 1)
-    def _process():
-        # refresh per-subtile far bounds once per item: early-z only needs
-        # a conservative (stale-high) value, and the lane->scalar reduce is
-        # too expensive per evaluation
-        for s in range(n_sub):
+    def batch_body(b, _):
+        blk = tri_ref[0, pl.ds(b * B, B), :]  # (B, 48)
+        # all edge/z values at subtile-relative pixel positions: one MXU
+        # matmul for the whole batch
+        erel = jax.lax.dot_general(
+            blk, rhs_rel[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (B, 4P)
+        live = blk[:, _R_VALID:_R_VALID + 1] > 0.0  # (B, 1)
+        coefs = blk[:, _R_COEF:_R_COEF + NUM_COEF]  # (B, 27)
+
+        packed_range = srange_ref[b, w]
+        s_lo = packed_range // 64
+        s_hi = packed_range - s_lo * 64  # s_lo > s_hi encodes "skip"
+
+        def sub_body(sidx, _):
+            sy0 = y0f + sidx.astype(jnp.float32) * sub_h
+
+            def off(base):
+                return (
+                    blk[:, base:base + 1] * x0f
+                    + blk[:, base + 1:base + 2] * sy0
+                    + blk[:, base + 2:base + 3]
+                )  # (B, 1)
+
+            e0 = erel[:, 0 * P:1 * P] + off(_R_EDGE + 0)
+            e1 = erel[:, 1 * P:2 * P] + off(_R_EDGE + 3)
+            e2 = erel[:, 2 * P:3 * P] + off(_R_EDGE + 6)
+            zq = erel[:, 3 * P:4 * P] + off(_R_Z)
+
+            m = jnp.minimum(e0, jnp.minimum(e1, e2))
+            cover = (m >= 0.0) & live
+            if wire_px > 0.0:
+                cover = cover & (m <= wire_px)
+            zv = jnp.where(cover, zq, worst)
+
             if reverse_z:
-                zmax_scr[s] = jnp.min(z_scr[s, :])
+                z_best = jnp.max(zv, axis=0, keepdims=True)
             else:
-                zmax_scr[s] = jnp.max(z_scr[s, :])
-        for b in range(n_batch):
-            bx0 = bm_ref[0, b, 0]
-            by0 = bm_ref[0, b, 1]
-            bx1 = bm_ref[0, b, 2]
-            by1 = bm_ref[0, b, 3]
-            bzmin = bm_ref[0, b, 4]
-            bzmax = bm_ref[0, b, 5]
-            tile_hit = (
-                (bx0 <= x0f + (tile - 1)) & (bx1 >= x0f)
-                & (by0 <= y0f + (tile - 1)) & (by1 >= y0f)
+                z_best = jnp.min(zv, axis=0, keepdims=True)
+            idx = jnp.min(
+                jnp.where(zv == z_best, tri_iota, B), axis=0, keepdims=True
+            )  # (1, P)
+            covered = idx < B
+            gid = jnp.where(covered, base_id + b * B + idx, _BIG_ID)
+
+            zs = z_scr[pl.ds(sidx, 1), :]
+            ids = id_scr[pl.ds(sidx, 1), :]
+            if reverse_z:
+                better = z_best > zs
+            else:
+                better = z_best < zs
+            upd = covered & (better | ((z_best == zs) & (gid < ids)))
+
+            onehot = (tri_iota == idx).astype(jnp.float32)
+            new_coef = jax.lax.dot_general(
+                coefs, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (27, P)
+            acc = coef_acc[pl.ds(sidx, 1), 0:NUM_COEF, :]
+            coef_acc[pl.ds(sidx, 1), 0:NUM_COEF, :] = jnp.where(
+                upd[None], new_coef[None], acc
             )
+            z_scr[pl.ds(sidx, 1), :] = jnp.where(upd, z_best, zs)
+            id_scr[pl.ds(sidx, 1), :] = jnp.where(upd, gid, ids)
+            return 0
 
-            @pl.when(tile_hit)
-            def _batch(b=b, bx0=bx0, by0=by0, bx1=bx1, by1=by1,
-                       bzmin=bzmin, bzmax=bzmax):
-                blk = tri_ref[0, b * B:(b + 1) * B, :]  # (B, 48)
-                # all edge/z values at subtile-relative pixel positions,
-                # one MXU matmul for the whole batch
-                erel = jax.lax.dot_general(
-                    blk, rhs_rel[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (B, 4P)
-                live = blk[:, _R_VALID:_R_VALID + 1] > 0.0  # (B, 1)
-                coefs = blk[:, _R_COEF:_R_COEF + NUM_COEF]  # (B, 27)
+        jax.lax.fori_loop(s_lo, s_hi + 1, sub_body, 0)
+        return 0
 
-                for s in range(n_sub):
-                    sy0 = y0f + s * sub_h
-                    sub_hit = (by0 <= sy0 + (sub_h - 1)) & (by1 >= sy0)
-                    # non-strict so exact-z ties still resolve to the
-                    # lowest triangle id (oracle determinism)
-                    if reverse_z:
-                        early = bzmax >= zmax_scr[s]
-                    else:
-                        early = bzmin <= zmax_scr[s]
-
-                    @pl.when(sub_hit & early)
-                    def _sub(s=s, sy0=sy0, erel=erel, live=live,
-                             coefs=coefs):
-                        # per-quantity offsets at the subtile origin:
-                        # E0_q = a_q x0 + b_q y0 + c_q
-                        def off(base):
-                            return (
-                                blk[:, base:base + 1] * x0f
-                                + blk[:, base + 1:base + 2] * sy0
-                                + blk[:, base + 2:base + 3]
-                            )  # (B, 1)
-
-                        e0 = erel[:, 0 * P:1 * P] + off(_R_EDGE + 0)
-                        e1 = erel[:, 1 * P:2 * P] + off(_R_EDGE + 3)
-                        e2 = erel[:, 2 * P:3 * P] + off(_R_EDGE + 6)
-                        zq = erel[:, 3 * P:4 * P] + off(_R_Z)
-
-                        m = jnp.minimum(e0, jnp.minimum(e1, e2))
-                        cover = (m >= 0.0) & live
-                        if wire_px > 0.0:
-                            cover = cover & (m <= wire_px)
-                        zv = jnp.where(cover, zq, worst)
-
-                        if reverse_z:
-                            z_best = jnp.max(zv, axis=0, keepdims=True)
-                        else:
-                            z_best = jnp.min(zv, axis=0, keepdims=True)
-                        idx = jnp.min(
-                            jnp.where(zv == z_best, tri_iota, B), axis=0,
-                            keepdims=True,
-                        )  # (1, P)
-                        covered = idx < B
-                        gid = jnp.where(
-                            covered, base_id + b * B + idx, _BIG_ID
-                        )
-
-                        zs = z_scr[s:s + 1, :]
-                        ids = id_scr[s:s + 1, :]
-                        if reverse_z:
-                            better = z_best > zs
-                        else:
-                            better = z_best < zs
-                        upd = covered & (
-                            better | ((z_best == zs) & (gid < ids))
-                        )
-
-                        onehot = (tri_iota == idx).astype(jnp.float32)
-                        new_coef = jax.lax.dot_general(
-                            coefs, onehot, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )  # (27, P)
-                        acc = coef_acc[s, 0:NUM_COEF, :]
-                        coef_acc[s, 0:NUM_COEF, :] = jnp.where(
-                            upd, new_coef, acc
-                        )
-                        z_new = jnp.where(upd, z_best, zs)
-                        z_scr[s:s + 1, :] = z_new
-                        id_scr[s:s + 1, :] = jnp.where(upd, gid, ids)
+    jax.lax.fori_loop(b_lo, b_hi + 1, batch_body, 0)
 
     @pl.when(last == 1)
     def _finalize():
@@ -482,26 +492,29 @@ def rasterize_pallas(
     P = sub_h * tile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(max_work,),
         in_specs=[
-            pl.BlockSpec((1, T, _R_TOTAL), lambda w, meta: (meta[1, w], 0, 0)),
             pl.BlockSpec(
-                (1, n_batch, _BM_COLS), lambda w, meta: (meta[1, w], 0, 0)
+                (1, T, _R_TOTAL), lambda w, meta, sr: (meta[1, w], 0, 0)
             ),
         ],
         out_specs=[
-            pl.BlockSpec((tile, tile), lambda w, meta: (meta[6, w], meta[7, w])),
-            pl.BlockSpec((tile, tile), lambda w, meta: (meta[6, w], meta[7, w])),
             pl.BlockSpec(
-                (16, tile, tile), lambda w, meta: (0, meta[6, w], meta[7, w])
+                (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
+            ),
+            pl.BlockSpec(
+                (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
+            ),
+            pl.BlockSpec(
+                (16, tile, tile),
+                lambda w, meta, sr: (0, meta[6, w], meta[7, w]),
             ),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_sub, P), jnp.float32),
             pltpu.VMEM((n_sub, P), jnp.int32),
             pltpu.VMEM((n_sub, 32, P), jnp.float32),
-            pltpu.SMEM((n_sub,), jnp.float32),
             pltpu.VMEM((48, 4 * P), jnp.float32),
         ],
     )
@@ -524,7 +537,7 @@ def rasterize_pallas(
             jax.ShapeDtypeStruct((16, pad_h, pad_w), jnp.float32),
         ],
         interpret=interpret,
-    )(work.meta, tri_data, batch_meta)
+    )(work.meta, work.sub_range, tri_data)
 
     z = z[:height, :width]
     idb = idb[:height, :width]

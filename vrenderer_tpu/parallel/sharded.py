@@ -135,6 +135,8 @@ def render_frames_sharded(
                 tris_per_inst=ts.tris_per_instance,
                 max_work=renderer.max_work,
                 order_key=dist,
+                batch_meta=packed.batch_meta,
+                sub_h=cfg.raster.subtile_h,
             )
             z, prim_id, attrs, _ = raster_pallas.rasterize_pallas(
                 packed, work, cfg.width, band_h,

@@ -200,6 +200,8 @@ class Renderer:
                 tris_per_inst=ts.tris_per_instance,
                 max_work=self.max_work,
                 order_key=dist,
+                batch_meta=packed.batch_meta,
+                sub_h=cfg.raster.subtile_h,
             )
             z, prim_id, attrs, _ = raster_pallas.rasterize_pallas(
                 packed, work, cfg.width, cfg.height,
