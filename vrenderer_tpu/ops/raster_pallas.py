@@ -182,7 +182,7 @@ def build_work_list(
     tris_per_inst: int = 2048,
     max_work: int = 2048,
     order_key: jnp.ndarray | None = None,  # (I,) ascending processing order
-    batch_meta: jnp.ndarray | None = None,  # (I, n_batch, 8) from pack
+    batch_meta: jnp.ndarray = None,  # (I, n_batch, 8) from pack — required
     sub_h: int = 8,
 ) -> WorkList:
     """Supertile-major (st, instance) pairs, one leading dummy per
@@ -251,11 +251,8 @@ def build_work_list(
     # kernel's hot loops read only SMEM scalars (VMEM scalar extraction
     # measured ~1us each — it dominated the first kernel's runtime)
     if batch_meta is None:
-        n_batch = 1
-        b_lo = jnp.zeros((max_work,), jnp.int32)
-        b_hi = jnp.zeros((max_work,), jnp.int32)
-        sub_range = jnp.zeros((1, max_work), jnp.int32)
-    else:
+        raise ValueError("batch_meta (from pack_tri_data) is required")
+    if True:
         n_batch = batch_meta.shape[1]
         inst_sel = jnp.maximum(w_inst, 0)
         bm = batch_meta[inst_sel]                     # (W, n_batch, 8)
