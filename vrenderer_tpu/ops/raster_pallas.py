@@ -418,10 +418,17 @@ def _raster_kernel(
             upd = covered & (better | ((z_best == zs) & (gid < ids)))
 
             onehot = (tri_iota == idx).astype(jnp.float32)
+            # exact f32 coefficient swap in two DEFAULT-precision (bf16)
+            # matmuls: the one-hot factor is exactly representable, so
+            # splitting the coefficients hi/lo loses nothing while
+            # costing 1/3 of a HIGHEST-precision matmul
+            coef_hi = coefs.astype(jnp.bfloat16).astype(jnp.float32)
+            coef_lo = coefs - coef_hi
+            dims = (((0,), (0,)), ((), ()))
             new_coef = jax.lax.dot_general(
-                coefs, onehot, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                coef_hi, onehot, dims, preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                coef_lo, onehot, dims, preferred_element_type=jnp.float32,
             )  # (27, P)
             acc = coef_acc[pl.ds(sidx, 1), 0:NUM_COEF, :]
             coef_acc[pl.ds(sidx, 1), 0:NUM_COEF, :] = jnp.where(
