@@ -110,6 +110,13 @@ class App:
             self.profiler.export_chrome_trace(trace_path)
         return outputs
 
+    def window_title(self) -> str:
+        """Title-bar string parity: avg ms/frame + FPS
+        (SetInformativeWindowTitle, Renderer.cpp:190)."""
+        ms = self.profiler.average_frame_ms()
+        fps = 1000.0 / ms if ms > 0 else 0.0
+        return f"vrenderer_tpu {ms:.1f} ms/frame ({fps:.0f} FPS)"
+
     def profile_passes(self, camera: Optional[Camera] = None) -> PassTimer:
         """Device-time per-pass breakdown with reference counter names."""
         cfg = self.config

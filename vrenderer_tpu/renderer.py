@@ -93,6 +93,15 @@ class Renderer:
         scene: Any = None,
     ):
         self.config = config
+        if heightmap is None:
+            # missing-texture fallback: the reference warns and binds a
+            # black texture (Renderer.cpp:58-63, TerrainPass.cpp:415-417)
+            import warnings
+
+            warnings.warn("heightmap missing; using black texture")
+            heightmap = jnp.zeros((2, 2), jnp.float32)
+        if albedo is None:
+            albedo = jnp.zeros(heightmap.shape + (3,), jnp.float32)
         self.heightmap = heightmap
         self.albedo = albedo
         self.light = light
