@@ -59,6 +59,7 @@ def _run_both(eye, target):
     work = raster_pallas.build_work_list(
         bbox, usable, W, H, tile=128, tris_per_inst=T, max_work=256,
         order_key=dist, batch_meta=packed.batch_meta,
+        tri_xspan=raster_pallas.tri_xspans(setup, I, T),
     )
     z_p, id_p, at_p, _ = raster_pallas.rasterize_pallas(
         packed, work, W, H, tile=128, sub_h=8, tri_batch=64,
@@ -108,6 +109,9 @@ def test_work_list_structure():
     work = raster_pallas.build_work_list(
         bbox, usable, W, H, tile=128, tris_per_inst=SET.tris_per_instance,
         max_work=256, order_key=dist, batch_meta=packed2.batch_meta,
+        tri_xspan=raster_pallas.tri_xspans(
+            setup, SET.max_instances, SET.tris_per_instance
+        ),
     )
     meta = np.asarray(work.meta)
     n = int(work.num_items)

@@ -39,20 +39,20 @@ def test_ranges_cover_exactly_hit_batches_and_subtiles():
     items = {int(meta[0, k]): k for k in range(n) if meta[5, k] == 1}
     assert set(items) == {0, 1}
 
+    def unpack(v):
+        return v & 31, (v >> 5) & 31
+
     k0 = items[0]
     assert meta[8, k0] == 0 and meta[9, k0] == 1  # batches 0..1 hit tile 0
-    s_lo, s_hi = divmod(sr[0, k0], 64)
-    assert (s_lo, s_hi) == (5, 5)                 # rows 40..47 -> subtile 5
-    s_lo, s_hi = divmod(sr[1, k0], 64)
-    assert (s_lo, s_hi) == (7, 10)                # rows 60..80 -> 7..10
-    assert sr[2, k0] == 64                        # skip-encoded
+    assert unpack(sr[0, k0]) == (5, 5)            # rows 40..47 -> subtile 5
+    assert unpack(sr[1, k0]) == (7, 10)           # rows 60..80 -> 7..10
+    assert sr[2, k0] < 0                          # skip-encoded
 
     k1 = items[1]
     assert meta[8, k1] == 1 and meta[9, k1] == 3  # batches 1 and 3 hit
-    s_lo, s_hi = divmod(sr[3, k1], 64)
-    assert (s_lo, s_hi) == (0, 1)                 # rows 0..10 -> 0..1
+    assert unpack(sr[3, k1]) == (0, 1)            # rows 0..10 -> 0..1
     # batch 2 skipped everywhere
-    assert sr[2, k1] == 64
+    assert sr[2, k1] < 0
 
 
 def test_dummy_and_padding_items_have_empty_ranges():
@@ -69,3 +69,4 @@ def test_dummy_and_padding_items_have_empty_ranges():
     for k in range(8):
         if meta[5, k] == 0:  # dummy / padding
             assert meta[8, k] > meta[9, k]  # empty batch range
+            assert np.all(np.asarray(work.sub_range)[:, k] < 0)

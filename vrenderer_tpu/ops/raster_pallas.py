@@ -128,6 +128,18 @@ def pack_tri_data(
     return PackedTris(tri_data=tri_data, batch_meta=batch_meta)
 
 
+def tri_xspans(setup: TriSetup, num_instances: int, tris_per_inst: int):
+    """(I, T, 2) per-triangle x extents for build_work_list's range
+    refinement; invalid triangles get an empty span."""
+    ok = setup.valid[:, None]
+    span = jnp.where(
+        ok,
+        setup.bbox[:, (0, 2)],
+        jnp.asarray([_FAR, -_FAR], jnp.float32),
+    )
+    return span.reshape(num_instances, tris_per_inst, 2)
+
+
 class WorkList(NamedTuple):
     """Flat supertile-major work items.
 
@@ -184,10 +196,18 @@ def build_work_list(
     order_key: jnp.ndarray | None = None,  # (I,) ascending processing order
     batch_meta: jnp.ndarray = None,  # (I, n_batch, 8) from pack — required
     sub_h: int = 8,
+    tri_xspan: jnp.ndarray | None = None,  # (I, T, 2) per-tri x0/x1 pixels
 ) -> WorkList:
     """Supertile-major (st, instance) pairs, one leading dummy per
     supertile. With order_key (camera distance), instances are emitted
-    near-to-far within each tile so early-z culls occluded batches."""
+    near-to-far within each tile so early-z culls occluded batches.
+
+    sub_range packs, per (item, batch): subtile range s_lo/s_hi (5 bits
+    each) and — when tri_xspan is given — the index range [t_lo, t_hi]
+    of triangles whose x extent touches the tile (8 bits each; grid
+    strips sweep x monotonically so this superset bound is tight).
+    Negative = skip. The kernel evaluates only fixed-width chunks of
+    that range."""
     tiles_x = -(-width // tile)
     tiles_y = -(-height // tile)
     n_st = tiles_x * tiles_y
@@ -275,7 +295,25 @@ def build_work_list(
         s_hi = jnp.clip(
             jnp.floor((bm[..., 3] - ty0[:, None]) / sub_h), 0, n_sub - 1
         ).astype(jnp.int32)
-        packed_range = jnp.where(hit, s_lo * 64 + s_hi, jnp.int32(64))
+        B = tris_per_inst // n_batch
+        if tri_xspan is not None:
+            spans = tri_xspan[inst_sel].reshape(max_work, n_batch, B, 2)
+            tmask = (
+                (spans[..., 0] <= tx0[:, None, None] + (tile - 1))
+                & (spans[..., 1] >= tx0[:, None, None])
+            )
+            tidx = jnp.arange(B, dtype=jnp.int32)[None, None, :]
+            t_lo = jnp.min(jnp.where(tmask, tidx, B), axis=-1)
+            t_hi = jnp.max(jnp.where(tmask, tidx, -1), axis=-1)
+            hit = hit & (t_lo <= t_hi)
+        else:
+            t_lo = jnp.zeros((max_work, n_batch), jnp.int32)
+            t_hi = jnp.full((max_work, n_batch), B - 1, jnp.int32)
+        packed_range = jnp.where(
+            hit,
+            s_lo | (s_hi << 5) | (t_lo << 10) | (t_hi << 18),
+            jnp.int32(-1),
+        )
         sub_range = packed_range.T                    # (n_batch, W)
         b_lo = jnp.where(item_valid, b_lo, n_batch)
         b_hi = jnp.where(item_valid, b_hi, -1)
@@ -360,85 +398,105 @@ def _raster_kernel(
         id_scr[:] = jnp.full((n_sub, P), _BIG_ID, jnp.int32)
         coef_acc[:] = jnp.zeros_like(coef_acc)
 
-    tri_iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 0)
+    W_E = min(64, B)  # evaluation chunk width (rows of triangles)
+    tri_iota = jax.lax.broadcasted_iota(jnp.int32, (W_E, P), 0)
 
     def batch_body(b, _):
-        blk = tri_ref[0, pl.ds(b * B, B), :]  # (B, 48)
-        # all edge/z values at subtile-relative pixel positions: one MXU
-        # matmul for the whole batch
-        erel = jax.lax.dot_general(
-            blk, rhs_rel[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (B, 4P)
-        live = blk[:, _R_VALID:_R_VALID + 1] > 0.0  # (B, 1)
-        coefs = blk[:, _R_COEF:_R_COEF + NUM_COEF]  # (B, 27)
-
         packed_range = srange_ref[b, w]
-        s_lo = packed_range // 64
-        s_hi = packed_range - s_lo * 64  # s_lo > s_hi encodes "skip"
 
-        def sub_body(sidx, _):
-            sy0 = y0f + sidx.astype(jnp.float32) * sub_h
+        @pl.when(packed_range >= 0)
+        def _hit():
+            s_lo = packed_range & 31
+            s_hi = (packed_range >> 5) & 31
+            t_lo = (packed_range >> 10) & 255
+            t_hi = (packed_range >> 18) & 255
+            n_chunks = (t_hi - t_lo + W_E) // W_E  # = cdiv(count, W_E)
 
-            def off(base):
-                return (
-                    blk[:, base:base + 1] * x0f
-                    + blk[:, base + 1:base + 2] * sy0
-                    + blk[:, base + 2:base + 3]
-                )  # (B, 1)
+            def chunk_body(k, _):
+                # fixed-width slice clamped into the batch; overlapping
+                # chunks re-evaluate the same triangles, which the merge
+                # is idempotent to
+                t0 = jnp.minimum(b * B + t_lo + k * W_E, b * B + B - W_E)
+                blk = tri_ref[0, pl.ds(t0, W_E), :]  # (W_E, 48)
+                # all edge/z values at subtile-relative pixel positions:
+                # one MXU matmul for the chunk
+                erel = jax.lax.dot_general(
+                    blk, rhs_rel[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (W_E, 4P)
+                live = blk[:, _R_VALID:_R_VALID + 1] > 0.0  # (W_E, 1)
+                coefs = blk[:, _R_COEF:_R_COEF + NUM_COEF]  # (W_E, 27)
 
-            e0 = erel[:, 0 * P:1 * P] + off(_R_EDGE + 0)
-            e1 = erel[:, 1 * P:2 * P] + off(_R_EDGE + 3)
-            e2 = erel[:, 2 * P:3 * P] + off(_R_EDGE + 6)
-            zq = erel[:, 3 * P:4 * P] + off(_R_Z)
+                def sub_body(sidx, _):
+                    sy0 = y0f + sidx.astype(jnp.float32) * sub_h
 
-            m = jnp.minimum(e0, jnp.minimum(e1, e2))
-            cover = (m >= 0.0) & live
-            if wire_px > 0.0:
-                cover = cover & (m <= wire_px)
-            zv = jnp.where(cover, zq, worst)
+                    def off(base):
+                        return (
+                            blk[:, base:base + 1] * x0f
+                            + blk[:, base + 1:base + 2] * sy0
+                            + blk[:, base + 2:base + 3]
+                        )  # (W_E, 1)
 
-            if reverse_z:
-                z_best = jnp.max(zv, axis=0, keepdims=True)
-            else:
-                z_best = jnp.min(zv, axis=0, keepdims=True)
-            idx = jnp.min(
-                jnp.where(zv == z_best, tri_iota, B), axis=0, keepdims=True
-            )  # (1, P)
-            covered = idx < B
-            gid = jnp.where(covered, base_id + b * B + idx, _BIG_ID)
+                    e0 = erel[:, 0 * P:1 * P] + off(_R_EDGE + 0)
+                    e1 = erel[:, 1 * P:2 * P] + off(_R_EDGE + 3)
+                    e2 = erel[:, 2 * P:3 * P] + off(_R_EDGE + 6)
+                    zq = erel[:, 3 * P:4 * P] + off(_R_Z)
 
-            zs = z_scr[pl.ds(sidx, 1), :]
-            ids = id_scr[pl.ds(sidx, 1), :]
-            if reverse_z:
-                better = z_best > zs
-            else:
-                better = z_best < zs
-            upd = covered & (better | ((z_best == zs) & (gid < ids)))
+                    m = jnp.minimum(e0, jnp.minimum(e1, e2))
+                    cover = (m >= 0.0) & live
+                    if wire_px > 0.0:
+                        cover = cover & (m <= wire_px)
+                    zv = jnp.where(cover, zq, worst)
 
-            onehot = (tri_iota == idx).astype(jnp.float32)
-            # exact f32 coefficient swap in two DEFAULT-precision (bf16)
-            # matmuls: the one-hot factor is exactly representable, so
-            # splitting the coefficients hi/lo loses nothing while
-            # costing 1/3 of a HIGHEST-precision matmul
-            coef_hi = coefs.astype(jnp.bfloat16).astype(jnp.float32)
-            coef_lo = coefs - coef_hi
-            dims = (((0,), (0,)), ((), ()))
-            new_coef = jax.lax.dot_general(
-                coef_hi, onehot, dims, preferred_element_type=jnp.float32,
-            ) + jax.lax.dot_general(
-                coef_lo, onehot, dims, preferred_element_type=jnp.float32,
-            )  # (27, P)
-            acc = coef_acc[pl.ds(sidx, 1), 0:NUM_COEF, :]
-            coef_acc[pl.ds(sidx, 1), 0:NUM_COEF, :] = jnp.where(
-                upd[None], new_coef[None], acc
-            )
-            z_scr[pl.ds(sidx, 1), :] = jnp.where(upd, z_best, zs)
-            id_scr[pl.ds(sidx, 1), :] = jnp.where(upd, gid, ids)
-            return 0
+                    if reverse_z:
+                        z_best = jnp.max(zv, axis=0, keepdims=True)
+                    else:
+                        z_best = jnp.min(zv, axis=0, keepdims=True)
+                    idx = jnp.min(
+                        jnp.where(zv == z_best, tri_iota, W_E), axis=0,
+                        keepdims=True,
+                    )  # (1, P)
+                    covered = idx < W_E
+                    gid = jnp.where(covered, base_id + t0 + idx, _BIG_ID)
 
-        jax.lax.fori_loop(s_lo, s_hi + 1, sub_body, 0)
+                    zs = z_scr[pl.ds(sidx, 1), :]
+                    ids = id_scr[pl.ds(sidx, 1), :]
+                    if reverse_z:
+                        better = z_best > zs
+                    else:
+                        better = z_best < zs
+                    upd = covered & (
+                        better | ((z_best == zs) & (gid < ids))
+                    )
+
+                    onehot = (tri_iota == idx).astype(jnp.float32)
+                    # exact f32 coefficient swap in two DEFAULT-precision
+                    # (bf16) matmuls: the one-hot factor is exactly
+                    # representable, so splitting the coefficients hi/lo
+                    # loses nothing at 1/3 the HIGHEST-precision cost
+                    coef_hi = coefs.astype(jnp.bfloat16).astype(jnp.float32)
+                    coef_lo = coefs - coef_hi
+                    dims = (((0,), (0,)), ((), ()))
+                    new_coef = jax.lax.dot_general(
+                        coef_hi, onehot, dims,
+                        preferred_element_type=jnp.float32,
+                    ) + jax.lax.dot_general(
+                        coef_lo, onehot, dims,
+                        preferred_element_type=jnp.float32,
+                    )  # (27, P)
+                    acc = coef_acc[pl.ds(sidx, 1), 0:NUM_COEF, :]
+                    coef_acc[pl.ds(sidx, 1), 0:NUM_COEF, :] = jnp.where(
+                        upd[None], new_coef[None], acc
+                    )
+                    z_scr[pl.ds(sidx, 1), :] = jnp.where(upd, z_best, zs)
+                    id_scr[pl.ds(sidx, 1), :] = jnp.where(upd, gid, ids)
+                    return 0
+
+                jax.lax.fori_loop(s_lo, s_hi + 1, sub_body, 0)
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
         return 0
 
     jax.lax.fori_loop(b_lo, b_hi + 1, batch_body, 0)

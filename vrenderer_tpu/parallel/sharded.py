@@ -137,6 +137,9 @@ def render_frames_sharded(
                 order_key=dist,
                 batch_meta=packed.batch_meta,
                 sub_h=cfg.raster.subtile_h,
+                tri_xspan=raster_pallas.tri_xspans(
+                    setup_b, ts.max_instances, ts.tris_per_instance
+                ),
             )
             z, prim_id, attrs, _ = raster_pallas.rasterize_pallas(
                 packed, work, cfg.width, band_h,

@@ -211,6 +211,9 @@ class Renderer:
                 order_key=dist,
                 batch_meta=packed.batch_meta,
                 sub_h=cfg.raster.subtile_h,
+                tri_xspan=raster_pallas.tri_xspans(
+                    setup, ts.max_instances + n_scene, ts.tris_per_instance
+                ),
             )
             z, prim_id, attrs, _ = raster_pallas.rasterize_pallas(
                 packed, work, cfg.width, cfg.height,
