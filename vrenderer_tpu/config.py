@@ -87,8 +87,10 @@ class RasterSettings:
     # Max instances binned per supertile (overflow drops + reports, like
     # the reference's MAX_INSTANCES assert, TerrainPass.cpp:238).
     bin_cap: int = 32
-    # Triangle batch size for [batch x pixels] edge evaluation.
-    tri_batch: int = 128
+    # Triangle batch size for [batch x pixels] edge evaluation
+    # (32 measured fastest at 1080p on v5e: thinner strips cut subtile
+    # overlap and per-eval VPU passes).
+    tri_batch: int = 32
     # Interpolated vertex-attribute channels (albedo3, normal3, shadow,
     # height).
     attr_channels: int = 8
