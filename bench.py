@@ -52,7 +52,7 @@ def build():
     alb = hmod.procedural_albedo(hm)
     on_tpu = jax.default_backend() == "tpu"
     r = Renderer(cfg, hm, alb, raster_backend="pallas",
-                 interpret=not on_tpu, max_work=4096)
+                 interpret=not on_tpu, max_work=2048)
     params = FrameParams.default()
     cams = flythrough(64, heightmap=hm, max_height=400.0)
     return r, params, cams

@@ -547,6 +547,12 @@ def rasterize_pallas(
     batch_meta = packed.batch_meta
     I, T, C = tri_data.shape
     assert C == _R_TOTAL
+    # scalar-prefetch operands live in SMEM (~1 MB total on v5e)
+    smem_bytes = (10 + T // tri_batch) * max_work * 4
+    assert smem_bytes < 900_000, (
+        f"work-list scalars need {smem_bytes}B of ~1MB SMEM; reduce "
+        f"max_work or increase tri_batch"
+    )
     n_batch = T // tri_batch
     pad_w = -(-width // tile) * tile
     pad_h = -(-height // tile) * tile

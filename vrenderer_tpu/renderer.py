@@ -89,7 +89,7 @@ class Renderer:
         light: LightParams = LightParams(),
         raster_backend: str = "pallas",
         interpret: bool = False,
-        max_work: int = 4096,
+        max_work: int = 2048,
         scene: Any = None,
     ):
         self.config = config
