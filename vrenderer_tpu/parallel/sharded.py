@@ -157,7 +157,10 @@ def render_frames_sharded(
         ndc_y = 1.0 - yg * 2.0
         xx, yy = jnp.meshgrid(ndc_x, ndc_y, indexing="xy")
         clip = jnp.stack([xx, yy, jnp.ones_like(xx), jnp.ones_like(xx)], -1)
-        wpos = clip @ vc["clip_to_world"]
+        # HIGHEST: bf16 unprojection NaNs on hardware (see renderer.py)
+        wpos = jnp.matmul(
+            clip, vc["clip_to_world"], precision=jax.lax.Precision.HIGHEST
+        )
         rays = math3d.normalize(
             wpos[..., :3] / wpos[..., 3:4] - vc["camera_pos"]
         )

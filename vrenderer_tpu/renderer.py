@@ -235,10 +235,13 @@ class Renderer:
         ndc_x = x * 2.0 - 1.0
         ndc_y = 1.0 - y * 2.0
         xx, yy = jnp.meshgrid(ndc_x, ndc_y, indexing="xy")
-        # unproject at the far plane: clip = (x, y, 1, 1) * w_far
+        # unproject at the far plane: clip = (x, y, 1, 1) * w_far.
+        # HIGHEST precision: the inverse view-projection has huge entries
+        # and the default bf16 MXU pass rounds some pixels' w to zero
+        # (NaN rays on hardware, found by driving the app)
         clip = jnp.stack([xx, yy, jnp.ones_like(xx), jnp.ones_like(xx)], -1)
         m = vc["clip_to_world"]
-        wpos = clip @ m
+        wpos = jnp.matmul(clip, m, precision=jax.lax.Precision.HIGHEST)
         wpos = wpos[..., :3] / wpos[..., 3:4]
         return math3d.normalize(wpos - vc["camera_pos"])
 
