@@ -49,3 +49,36 @@ def test_frame_profiler_nesting():
     assert "Render" in names and "Terrain" in names and "CPU Frame" in names
     assert all(n in REFERENCE_GPU_COUNTERS + ["Render", "CPU Frame"]
                for n in names)
+
+
+def test_profiler_pause_and_threshold():
+    import time
+
+    from vrenderer_tpu.profiler import FrameProfiler
+
+    p = FrameProfiler(pause_threshold_ms=1.0)
+    p.begin_frame()
+    time.sleep(0.003)  # exceeds threshold -> auto-pause
+    p.end_frame()
+    assert p.paused
+    n_frames = len(p.frames)
+    p.begin_frame()
+    with p.scope("Render"):
+        pass
+    p.end_frame()
+    assert len(p.frames) == n_frames  # ring frozen while paused
+    assert len(p.frame_times_ms) >= 1
+    p.paused = False
+    p.begin_frame()
+    p.end_frame()
+    assert len(p.frames) == n_frames + 1
+
+
+def test_frame_time_history_ring():
+    from vrenderer_tpu.profiler import FrameProfiler
+
+    p = FrameProfiler(time_history=5)
+    for _ in range(9):
+        p.begin_frame()
+        p.end_frame()
+    assert len(p.frame_times_ms) == 5  # last-N scrolling history

@@ -125,18 +125,27 @@ class PassTimer:
 class FrameProfiler:
     """Host-side frame ring + chrome trace export.
 
-    Mirrors the reference's frame ring (history 10) and its event naming;
-    events here are coarse host-visible phases (the fine device-side
-    breakdown comes from PassTimer / jax.profiler).
+    Mirrors the reference's frame ring (history 10, main.cpp:69), pause
+    (space key, ProfilerWindow.cpp:557), auto-pause when a frame exceeds
+    a threshold (ProfilerWindow.cpp:212-216), and the Editor's scrolling
+    frame-time history (last 1500 samples, Editor.cpp:64-91). Events are
+    coarse host-visible phases (the fine device-side breakdown comes
+    from PassTimer / jax.profiler).
     """
 
     history: int = 10
+    time_history: int = 1500
+    pause_threshold_ms: Optional[float] = None
     frames: List[Dict] = field(default_factory=list)
+    frame_times_ms: List[float] = field(default_factory=list)
+    paused: bool = False
     _open: List[Dict] = field(default_factory=list)
     _frame_start: Optional[float] = None
 
     def begin_frame(self):
         self._frame_start = time.perf_counter()
+        if self.paused:
+            return
         self.frames.append({"events": [], "start": self._frame_start})
         if len(self.frames) > self.history:
             self.frames.pop(0)
@@ -146,6 +155,8 @@ class FrameProfiler:
 
     def end(self):
         ev = self._open.pop()
+        if self.paused or not self.frames:
+            return
         ev["end"] = time.perf_counter()
         ev["depth"] = len(self._open)
         self.frames[-1]["events"].append(ev)
@@ -163,12 +174,28 @@ class FrameProfiler:
         return _Scope()
 
     def end_frame(self):
+        now = time.perf_counter()
+        if self._frame_start is not None:
+            ms = (now - self._frame_start) * 1e3
+            self.frame_times_ms.append(ms)
+            if len(self.frame_times_ms) > self.time_history:
+                self.frame_times_ms.pop(0)
+            # auto-pause: freeze the ring when a frame exceeds the
+            # threshold so the offending frame can be inspected
+            if (
+                self.pause_threshold_ms is not None
+                and not self.paused
+                and ms >= self.pause_threshold_ms
+            ):
+                self.paused = True
+        if self.paused:
+            return
         if self.frames and self._frame_start is not None:
             self.frames[-1]["events"].append(
                 {
                     "name": "CPU Frame",
                     "start": self._frame_start,
-                    "end": time.perf_counter(),
+                    "end": now,
                     "depth": -1,
                 }
             )
