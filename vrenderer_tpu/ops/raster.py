@@ -41,9 +41,8 @@ TPU fast path with identical semantics, sharing the setup here.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

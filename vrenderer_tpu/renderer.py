@@ -25,8 +25,6 @@ Pass map (reference counter -> here):
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
