@@ -144,12 +144,13 @@ class WorkList(NamedTuple):
     """Flat supertile-major work items.
 
     meta rows: st, inst, first, last, base_id, item_valid, tile_y, tile_x,
-    b_lo, b_hi (inclusive batch range hitting the tile).
+    b_lo, b_hi (inclusive batch range hitting the tile), item zmin
+    (f32 bits, for exact early-z skips).
     sub_range[k, w]: per-(item, batch-k) packed subtile range
     (s_lo * 64 + s_hi, inclusive; s_lo > s_hi encodes "skip"), so the
     kernel reads only cheap SMEM scalars in its hot loops."""
 
-    meta: jnp.ndarray       # (10, MAX_WORK) int32
+    meta: jnp.ndarray       # (11, MAX_WORK) int32
     sub_range: jnp.ndarray  # (n_batch, MAX_WORK) int32
     num_items: jnp.ndarray  # () int32 (> MAX_WORK means overflow/drop)
 
@@ -317,6 +318,13 @@ def build_work_list(
         sub_range = packed_range.T                    # (n_batch, W)
         b_lo = jnp.where(item_valid, b_lo, n_batch)
         b_hi = jnp.where(item_valid, b_hi, -1)
+        # conservative per-(item, tile) nearest depth for early-z: an item
+        # strictly behind every pixel of a fully covered tile can never
+        # win (nor tie), so skipping it is exactly lossless
+        item_zmin = jnp.min(
+            jnp.where(hit, bm[..., 4], jnp.float32(_FAR)), axis=1
+        )
+        item_zmin_bits = jax.lax.bitcast_convert_type(item_zmin, jnp.int32)
 
     meta = jnp.stack(
         [
@@ -330,13 +338,14 @@ def build_work_list(
             w_st % tiles_x,
             b_lo,
             b_hi,
+            item_zmin_bits,
         ]
     )
     return WorkList(meta=meta, sub_range=sub_range, num_items=count)
 
 
 def _raster_kernel(
-    meta_ref,     # scalar prefetch (10, MAX_WORK) int32
+    meta_ref,     # scalar prefetch (11, MAX_WORK) int32
     srange_ref,   # scalar prefetch (n_batch, MAX_WORK) int32
     tri_ref,      # (1, T, 48) one instance's packed tris
     z_ref,        # (TILE, TILE) out
@@ -400,6 +409,19 @@ def _raster_kernel(
 
     W_E = min(64, B)  # evaluation chunk width (rows of triangles)
     tri_iota = jax.lax.broadcasted_iota(jnp.int32, (W_E, P), 0)
+
+    # exact early-z: an item strictly behind (in front of, for reverse-z)
+    # every current depth in the tile cannot win or tie anywhere. Costs
+    # one (n_sub, P) reduce + scalar move per item; with the work list's
+    # near-to-far ordering it skips fully occluded instances outright.
+    item_valid_f = meta_ref[5, w]
+    zmin_item = jax.lax.bitcast_convert_type(meta_ref[10, w], jnp.float32)
+    if reverse_z:
+        z_edge = jnp.min(z_scr[:])
+        run_item = (item_valid_f == 1) & (zmin_item >= z_edge)
+    else:
+        z_edge = jnp.max(z_scr[:])
+        run_item = (item_valid_f == 1) & (zmin_item <= z_edge)
 
     def batch_body(b, _):
         packed_range = srange_ref[b, w]
@@ -499,7 +521,9 @@ def _raster_kernel(
             jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
         return 0
 
-    jax.lax.fori_loop(b_lo, b_hi + 1, batch_body, 0)
+    @pl.when(run_item)
+    def _run_batches():
+        jax.lax.fori_loop(b_lo, b_hi + 1, batch_body, 0)
 
     @pl.when(last == 1)
     def _finalize():
@@ -548,7 +572,7 @@ def rasterize_pallas(
     I, T, C = tri_data.shape
     assert C == _R_TOTAL
     # scalar-prefetch operands live in SMEM (~1 MB total on v5e)
-    smem_bytes = (10 + T // tri_batch) * max_work * 4
+    smem_bytes = (11 + T // tri_batch) * max_work * 4
     assert smem_bytes < 900_000, (
         f"work-list scalars need {smem_bytes}B of ~1MB SMEM; reduce "
         f"max_work or increase tri_batch"
