@@ -320,11 +320,15 @@ def build_work_list(
         b_hi = jnp.where(item_valid, b_hi, -1)
         # conservative per-(item, tile) nearest depth for early-z: an item
         # strictly behind every pixel of a fully covered tile can never
-        # win (nor tie), so skipping it is exactly lossless
+        # win (nor tie), so skipping it is exactly lossless. Stored as
+        # floor-quantized fixed point (Mosaic cannot bitcast scalars);
+        # the kernel ceil-quantizes its side, keeping the skip strict.
         item_zmin = jnp.min(
             jnp.where(hit, bm[..., 4], jnp.float32(_FAR)), axis=1
         )
-        item_zmin_bits = jax.lax.bitcast_convert_type(item_zmin, jnp.int32)
+        item_zmin_q = jnp.floor(
+            jnp.clip(item_zmin, 0.0, 2.0) * (1 << 20)
+        ).astype(jnp.int32)
 
     meta = jnp.stack(
         [
@@ -338,7 +342,7 @@ def build_work_list(
             w_st % tiles_x,
             b_lo,
             b_hi,
-            item_zmin_bits,
+            item_zmin_q,
         ]
     )
     return WorkList(meta=meta, sub_range=sub_range, num_items=count)
@@ -410,18 +414,22 @@ def _raster_kernel(
     W_E = min(64, B)  # evaluation chunk width (rows of triangles)
     tri_iota = jax.lax.broadcasted_iota(jnp.int32, (W_E, P), 0)
 
-    # exact early-z: an item strictly behind (in front of, for reverse-z)
-    # every current depth in the tile cannot win or tie anywhere. Costs
-    # one (n_sub, P) reduce + scalar move per item; with the work list's
-    # near-to-far ordering it skips fully occluded instances outright.
+    # exact early-z: an item strictly behind every current depth in the
+    # tile cannot win or tie anywhere (ties need z == stored z <= tile
+    # max < item zmin — contradiction). One (n_sub, P) reduce + scalar
+    # per item; near-to-far ordering makes occluded instances skip
+    # outright. Fixed-point with opposing roundings keeps it strict.
+    # (Disabled under reverse-z: the stored bound is a near-depth min.)
     item_valid_f = meta_ref[5, w]
-    zmin_item = jax.lax.bitcast_convert_type(meta_ref[10, w], jnp.float32)
     if reverse_z:
-        z_edge = jnp.min(z_scr[:])
-        run_item = (item_valid_f == 1) & (zmin_item >= z_edge)
+        run_item = item_valid_f == 1
     else:
+        zmin_q = meta_ref[10, w]
         z_edge = jnp.max(z_scr[:])
-        run_item = (item_valid_f == 1) & (zmin_item <= z_edge)
+        edge_q = jnp.ceil(
+            jnp.clip(z_edge, 0.0, 2.0) * (1 << 20)
+        ).astype(jnp.int32)
+        run_item = (item_valid_f == 1) & (zmin_q <= edge_q)
 
     def batch_body(b, _):
         packed_range = srange_ref[b, w]
