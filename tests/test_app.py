@@ -82,3 +82,18 @@ def test_frame_time_history_ring():
         p.begin_frame()
         p.end_frame()
     assert len(p.frame_times_ms) == 5  # last-N scrolling history
+
+
+def test_pass_timer_args_are_jit_inputs_not_constants():
+    import jax
+    import jax.numpy as jnp
+
+    from vrenderer_tpu.profiler import PassTimer
+
+    t = PassTimer(short=1, long=2, reps=1)
+    x = jnp.arange(8.0)
+    ms = t.measure("toy", lambda a: a * 2.0, x)
+    assert "toy" in t.results
+    # the chained runner takes args as parameters (no closure constants)
+    f = t._chain(lambda a: a + 1.0, 2)
+    assert float(f(jnp.float32(1.0))) != 0.0

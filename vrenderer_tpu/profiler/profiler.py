@@ -80,8 +80,11 @@ class PassTimer:
         self.reps = reps
         self.results: "OrderedDict[str, float]" = OrderedDict()
 
-    def _chain(self, fn: Callable, args, n: int):
-        def run():
+    def _chain(self, fn: Callable, n: int):
+        # args enter as real jit inputs: closing over them embeds them as
+        # program constants, which blows up compilation for large buffers
+        # (the remote-compile service rejects oversized programs)
+        def run(*args):
             def body(i, acc):
                 out = fn(*args)
                 leaves = jax.tree_util.tree_leaves(out)
@@ -96,16 +99,16 @@ class PassTimer:
 
     def measure(self, name: str, fn: Callable, *args) -> float:
         """Returns per-call milliseconds; records under `name`."""
-        f_s = self._chain(fn, args, self.short)
-        f_l = self._chain(fn, args, self.long)
-        float(f_s())
-        float(f_l())
+        f_s = self._chain(fn, self.short)
+        f_l = self._chain(fn, self.long)
+        float(f_s(*args))
+        float(f_l(*args))
 
         def t(f):
             best = float("inf")
             for _ in range(self.reps):
                 t0 = time.perf_counter()
-                float(f())
+                float(f(*args))
                 best = min(best, time.perf_counter() - t0)
             return best
 
