@@ -162,3 +162,46 @@ def test_load_glb(tmp_path):
     scene = scenemod.load_gltf(str(p))
     assert len(scene.instances) == 1
     assert scene.instances[0].mesh.tris.shape == (1, 3)
+
+
+def test_transform_mesh_rotated_normals():
+    """Normals must transform by inv(L)^T (row-vector convention): a 90-deg
+    Y rotation maps the +X face normal to -Z under p' = p @ L with
+    L = [[0,0,-1],[0,1,0],[1,0,0]] (x->-z, z->x)."""
+    m = meshmod.cube(2.0)
+    c, s = 0.0, 1.0
+    rot = jnp.array(
+        [[c, 0.0, -s], [0.0, 1.0, 0.0], [s, 0.0, c], [0.0, 0.0, 0.0]],
+        jnp.float32,
+    )
+    out = meshmod.transform_mesh(m, rot)
+    # positions and normals must rotate identically for a pure rotation
+    np.testing.assert_allclose(
+        np.asarray(out.normals),
+        np.asarray(math3d.normalize(m.normals @ rot[:3, :])),
+        atol=1e-6,
+    )
+    px = np.asarray(m.normals) @ np.array([1, 0, 0.0]) > 0.99
+    np.testing.assert_allclose(
+        np.asarray(out.normals)[px],
+        np.tile([0.0, 0.0, -1.0], (px.sum(), 1)),
+        atol=1e-6,
+    )
+
+
+def test_transform_mesh_nonuniform_scale_normals():
+    """Non-uniform scale: a slanted face normal must stay perpendicular to
+    transformed tangents (the inv-transpose property)."""
+    m = meshmod.cube(2.0)
+    aff = jnp.array(
+        [[2.0, 0, 0], [0, 1.0, 0], [0, 0, 0.5], [0, 0, 0]], jnp.float32
+    )
+    out = meshmod.transform_mesh(m, aff)
+    # tangents along transformed edges of each tri stay orthogonal to the
+    # transformed normal
+    p = np.asarray(out.positions)
+    n = np.asarray(out.normals)
+    tris = np.asarray(m.tris)
+    e1 = p[tris[:, 1]] - p[tris[:, 0]]
+    dots = np.abs(np.sum(n[tris[:, 0]] * e1, axis=-1))
+    assert dots.max() < 1e-5

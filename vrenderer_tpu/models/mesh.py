@@ -65,8 +65,10 @@ def cube(size: float = 1.0, color=(0.8, 0.2, 0.2)) -> Mesh:
 def transform_mesh(mesh: Mesh, affine: jnp.ndarray) -> Mesh:
     """Apply a (4, 3) row-vector affine (scene-graph node transform)."""
     pos = math3d.affine_apply(affine, mesh.positions)
+    # Row-vector convention: p' = p @ L, so normals need n' = n @ inv(L)^T
+    # (keeps n'.t' = 0 under rotation + non-uniform scale).
     lin_inv_t = jnp.linalg.inv(affine[:3, :]).T
-    nrm = math3d.normalize(mesh.normals @ lin_inv_t.T)
+    nrm = math3d.normalize(mesh.normals @ lin_inv_t)
     return mesh._replace(positions=pos, normals=nrm)
 
 

@@ -108,12 +108,14 @@ def render_frames_sharded(
         y0 = (tile_idx * band_h).astype(jnp.float32)
         setup_b = shift_setup_y(setup, y0)
 
+        wire_px = 1.0 if cfg.raster.wireframe else 0.0
         if renderer.raster_backend == "xla":
             pw = -(-cfg.width // 128) * 128
             ph = -(-band_h // cfg.raster.subtile_h) * cfg.raster.subtile_h
             z, prim_id, attrs = raster.rasterize_xla(
                 setup_b, pw, ph,
                 tile=(cfg.raster.subtile_h, 128), batch=cfg.raster.tri_batch,
+                reverse_z=cfg.raster.reverse_z, wire_px=wire_px,
             )
             z = z[:band_h, :cfg.width]
             prim_id = prim_id[:band_h, :cfg.width]
@@ -146,6 +148,7 @@ def render_frames_sharded(
                 tile=cfg.raster.tile_w, sub_h=cfg.raster.subtile_h,
                 tri_batch=cfg.raster.tri_batch,
                 max_work=renderer.max_work,
+                reverse_z=cfg.raster.reverse_z, wire_px=wire_px,
                 interpret=renderer.interpret,
             )
         covered = prim_id >= 0
