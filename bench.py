@@ -84,6 +84,17 @@ def timed(f):
 
 def main():
     renderer, params, cams = build()
+    # overflow honesty: a too-small max_work/max_instances renders holes;
+    # fail the bench loudly rather than publish numbers on a broken frame
+    from vrenderer_tpu.camera import Camera
+
+    probe = renderer.render(
+        Camera(eye=cams.eye[0], target=cams.target[0], up=cams.up[0]), params
+    )
+    assert not bool(probe.overflow), (
+        f"work-list/instance overflow at bench config "
+        f"(work={int(probe.num_work_items)}/{renderer.max_work})"
+    )
     short_n, long_n = 4, 20
     f_short = chain_fn(renderer, params, cams, short_n)
     f_long = chain_fn(renderer, params, cams, long_n)

@@ -82,3 +82,48 @@ def test_reload_pipelines_keeps_output():
     r.reload_pipelines()
     after = np.asarray(r.render(cam, PARAMS).ldr)
     np.testing.assert_array_equal(before, after)
+
+
+def test_render_terrain_toggle_sky_only():
+    """EditorParams.m_RenderTerrain analog: traced 0.0 renders sky only
+    (no recompile — same jitted executable, different arg)."""
+    r, _ = _setup()
+    cam = _cam()
+    on = r.render(cam, PARAMS)
+    off = r.render(cam, PARAMS._replace(render_terrain=jnp.float32(0.0)))
+    assert np.asarray(on.prim_id >= 0).sum() > 1000
+    # depth cleared to background everywhere when terrain is off
+    assert np.all(np.asarray(off.depth) == 1.0)
+    # off-frame is pure sky: matches the on-frame's sky pixels
+    sky_mask = ~np.asarray(on.prim_id >= 0)
+    np.testing.assert_allclose(
+        np.asarray(off.ldr)[sky_mask], np.asarray(on.ldr)[sky_mask],
+        atol=1e-6,
+    )
+
+
+def test_debug_quadtree_tint():
+    """Quadtree debug tints covered pixels per node id; sky unchanged."""
+    r, _ = _setup()
+    cam = _cam()
+    plain = r.render(cam, PARAMS)
+    dbg = r.render(cam, PARAMS._replace(debug_quadtree=jnp.float32(1.0)))
+    covered = np.asarray(plain.prim_id >= 0)
+    diff = np.abs(np.asarray(dbg.ldr) - np.asarray(plain.ldr)).sum(-1)
+    assert diff[covered].mean() > 0.05     # terrain visibly tinted
+    assert diff[~covered].max() < 1e-6     # sky untouched
+
+
+def test_overflow_reported():
+    """A deliberately tiny work list must flag overflow, not fail silently
+    (reference analog: the instance-count assert, TerrainPass.cpp:238)."""
+    hm = hmod.procedural_heightmap(64, seed=7)
+    alb = hmod.procedural_albedo(hm)
+    r_small = Renderer(CFG, hm, alb, raster_backend="pallas",
+                       interpret=True, max_work=4)
+    out = r_small.render(_cam(), PARAMS)
+    assert bool(np.asarray(out.overflow))
+    assert int(out.num_work_items) > 4
+    r_ok = Renderer(CFG, hm, alb, raster_backend="pallas",
+                    interpret=True, max_work=256)
+    assert not bool(np.asarray(r_ok.render(_cam(), PARAMS).overflow))

@@ -38,15 +38,11 @@ __version__ = "0.1.0"
 
 from vrenderer_tpu.config import (
     TerrainSettings,
-    EditorParams,
-    RenderParams,
     FrameConfig,
 )
 
 __all__ = [
     "TerrainSettings",
-    "EditorParams",
-    "RenderParams",
     "FrameConfig",
     "__version__",
 ]

@@ -99,6 +99,19 @@ class App:
                 out = self.renderer.render(cam, self.params)
                 with self.profiler.scope("Wait GPU"):
                     jax.block_until_ready(out.ldr)
+            if bool(np.asarray(out.overflow)):
+                # the reference asserts on instance overflow
+                # (TerrainPass.cpp:238); report loudly instead of
+                # rendering holes silently
+                import warnings
+
+                warnings.warn(
+                    f"frame {i}: raster work list or instance buffer "
+                    f"overflowed (work={int(out.num_work_items)}/"
+                    f"{self.renderer.max_work}, instances="
+                    f"{int(out.num_instances)}); output may be missing "
+                    f"geometry — raise max_work/max_instances"
+                )
             if dump_dir is not None:
                 with self.profiler.scope("Present"):
                     write_png(

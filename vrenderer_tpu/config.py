@@ -1,12 +1,10 @@
 """Configuration for the TPU terrain renderer.
 
-Mirrors the reference's three config tiers (SURVEY.md §5.6):
-compile-time ``TerrainSettings`` (reference: TerrainPass.h:23-30),
-runtime-UI ``EditorParams`` (reference: Renderer.h:34-48) and per-pass
-``RenderParams`` (reference: TerrainPass.h:62-73). Here the compile-time
-tier becomes static (hashable) dataclasses baked into jit closures, and
-the runtime tier becomes traced jit arguments so tweaking them does not
-recompile.
+Mirrors the reference's config tiers (SURVEY.md §5.6): the compile-time
+tier (reference: TerrainPass.h:23-30) becomes static (hashable)
+dataclasses baked into jit closures; the runtime-UI tier (reference
+``EditorParams``, Renderer.h:34-48) becomes traced jit arguments —
+``renderer.FrameParams`` — so tweaking them never recompiles.
 """
 
 from __future__ import annotations
@@ -84,9 +82,6 @@ class RasterSettings:
     # Fine evaluation window inside a supertile: (8, 128) is the native
     # f32 VPU tile. Triangle batches are tested against these subtiles.
     subtile_h: int = 8
-    # Max instances binned per supertile (overflow drops + reports, like
-    # the reference's MAX_INSTANCES assert, TerrainPass.cpp:238).
-    bin_cap: int = 32
     # Triangle batch size for [batch x pixels] edge evaluation
     # (32 measured fastest at 1080p on v5e: thinner strips cut subtile
     # overlap and per-eval VPU passes).
@@ -100,35 +95,6 @@ class RasterSettings:
     # Wireframe fill mode (reference: RasterFillMode::Wireframe,
     # TerrainPass.cpp:311).
     wireframe: bool = False
-
-
-@dataclasses.dataclass
-class EditorParams:
-    """Per-frame tweakable render state; traced jit arguments.
-
-    Reference: Renderer.h:34-48 ``EditorParams`` (terrain on/off, wireframe,
-    lock view, maxHeight=400, ambient 0.01, quadtree debug).
-    """
-
-    render_terrain: bool = True
-    wireframe: bool = False
-    lock_view: bool = False
-    debug_quadtree: bool = False
-    max_height: float = 400.0
-    ambient_intensity: float = 0.01
-    # Populated by the renderer each frame (reference: m_NumChunks,
-    # TerrainPass.cpp:198).
-    num_chunks: int = 0
-
-
-@dataclasses.dataclass(frozen=True)
-class RenderParams:
-    """Per-pass params (reference: TerrainPass::RenderParams,
-    TerrainPass.h:62-73)."""
-
-    wireframe: bool = False
-    lock_view: bool = False
-    depth_only: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -146,9 +112,6 @@ class FrameConfig:
     z_far: float = 10000.0
     # Shadow map resolution (reference: Renderer.cpp:83, 2048, 1 cascade).
     shadow_resolution: int = 2048
-    # Horizon-map shadow field resolution (the TPU-native replacement for
-    # per-pixel shadow-map sampling; see ops/shadow.py).
-    horizon_resolution: int = 512
 
     @property
     def aspect(self) -> float:

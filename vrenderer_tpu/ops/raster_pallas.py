@@ -273,62 +273,61 @@ def build_work_list(
     # measured ~1us each — it dominated the first kernel's runtime)
     if batch_meta is None:
         raise ValueError("batch_meta (from pack_tri_data) is required")
-    if True:
-        n_batch = batch_meta.shape[1]
-        inst_sel = jnp.maximum(w_inst, 0)
-        bm = batch_meta[inst_sel]                     # (W, n_batch, 8)
-        tx0 = (w_st % tiles_x).astype(jnp.float32) * tile
-        ty0 = (w_st // tiles_x).astype(jnp.float32) * tile
-        hit = (
-            (bm[..., 0] <= tx0[:, None] + (tile - 1))
-            & (bm[..., 2] >= tx0[:, None])
-            & (bm[..., 1] <= ty0[:, None] + (tile - 1))
-            & (bm[..., 3] >= ty0[:, None])
-            & item_valid[:, None]
-        )                                             # (W, n_batch)
-        bidx = jnp.arange(n_batch, dtype=jnp.int32)[None, :]
-        b_lo = jnp.min(jnp.where(hit, bidx, n_batch), axis=1)
-        b_hi = jnp.max(jnp.where(hit, bidx, -1), axis=1)
-        n_sub = tile // sub_h
-        s_lo = jnp.clip(
-            jnp.floor((bm[..., 1] - ty0[:, None]) / sub_h), 0, n_sub - 1
-        ).astype(jnp.int32)
-        s_hi = jnp.clip(
-            jnp.floor((bm[..., 3] - ty0[:, None]) / sub_h), 0, n_sub - 1
-        ).astype(jnp.int32)
-        B = tris_per_inst // n_batch
-        if tri_xspan is not None:
-            spans = tri_xspan[inst_sel].reshape(max_work, n_batch, B, 2)
-            tmask = (
-                (spans[..., 0] <= tx0[:, None, None] + (tile - 1))
-                & (spans[..., 1] >= tx0[:, None, None])
-            )
-            tidx = jnp.arange(B, dtype=jnp.int32)[None, None, :]
-            t_lo = jnp.min(jnp.where(tmask, tidx, B), axis=-1)
-            t_hi = jnp.max(jnp.where(tmask, tidx, -1), axis=-1)
-            hit = hit & (t_lo <= t_hi)
-        else:
-            t_lo = jnp.zeros((max_work, n_batch), jnp.int32)
-            t_hi = jnp.full((max_work, n_batch), B - 1, jnp.int32)
-        packed_range = jnp.where(
-            hit,
-            s_lo | (s_hi << 5) | (t_lo << 10) | (t_hi << 18),
-            jnp.int32(-1),
+    n_batch = batch_meta.shape[1]
+    inst_sel = jnp.maximum(w_inst, 0)
+    bm = batch_meta[inst_sel]                     # (W, n_batch, 8)
+    tx0 = (w_st % tiles_x).astype(jnp.float32) * tile
+    ty0 = (w_st // tiles_x).astype(jnp.float32) * tile
+    hit = (
+        (bm[..., 0] <= tx0[:, None] + (tile - 1))
+        & (bm[..., 2] >= tx0[:, None])
+        & (bm[..., 1] <= ty0[:, None] + (tile - 1))
+        & (bm[..., 3] >= ty0[:, None])
+        & item_valid[:, None]
+    )                                             # (W, n_batch)
+    bidx = jnp.arange(n_batch, dtype=jnp.int32)[None, :]
+    b_lo = jnp.min(jnp.where(hit, bidx, n_batch), axis=1)
+    b_hi = jnp.max(jnp.where(hit, bidx, -1), axis=1)
+    n_sub = tile // sub_h
+    s_lo = jnp.clip(
+        jnp.floor((bm[..., 1] - ty0[:, None]) / sub_h), 0, n_sub - 1
+    ).astype(jnp.int32)
+    s_hi = jnp.clip(
+        jnp.floor((bm[..., 3] - ty0[:, None]) / sub_h), 0, n_sub - 1
+    ).astype(jnp.int32)
+    B = tris_per_inst // n_batch
+    if tri_xspan is not None:
+        spans = tri_xspan[inst_sel].reshape(max_work, n_batch, B, 2)
+        tmask = (
+            (spans[..., 0] <= tx0[:, None, None] + (tile - 1))
+            & (spans[..., 1] >= tx0[:, None, None])
         )
-        sub_range = packed_range.T                    # (n_batch, W)
-        b_lo = jnp.where(item_valid, b_lo, n_batch)
-        b_hi = jnp.where(item_valid, b_hi, -1)
-        # conservative per-(item, tile) nearest depth for early-z: an item
-        # strictly behind every pixel of a fully covered tile can never
-        # win (nor tie), so skipping it is exactly lossless. Stored as
-        # floor-quantized fixed point (Mosaic cannot bitcast scalars);
-        # the kernel ceil-quantizes its side, keeping the skip strict.
-        item_zmin = jnp.min(
-            jnp.where(hit, bm[..., 4], jnp.float32(_FAR)), axis=1
-        )
-        item_zmin_q = jnp.floor(
-            jnp.clip(item_zmin, 0.0, 2.0) * (1 << 20)
-        ).astype(jnp.int32)
+        tidx = jnp.arange(B, dtype=jnp.int32)[None, None, :]
+        t_lo = jnp.min(jnp.where(tmask, tidx, B), axis=-1)
+        t_hi = jnp.max(jnp.where(tmask, tidx, -1), axis=-1)
+        hit = hit & (t_lo <= t_hi)
+    else:
+        t_lo = jnp.zeros((max_work, n_batch), jnp.int32)
+        t_hi = jnp.full((max_work, n_batch), B - 1, jnp.int32)
+    packed_range = jnp.where(
+        hit,
+        s_lo | (s_hi << 5) | (t_lo << 10) | (t_hi << 18),
+        jnp.int32(-1),
+    )
+    sub_range = packed_range.T                    # (n_batch, W)
+    b_lo = jnp.where(item_valid, b_lo, n_batch)
+    b_hi = jnp.where(item_valid, b_hi, -1)
+    # conservative per-(item, tile) nearest depth for early-z: an item
+    # strictly behind every pixel of a fully covered tile can never
+    # win (nor tie), so skipping it is exactly lossless. Stored as
+    # floor-quantized fixed point (Mosaic cannot bitcast scalars);
+    # the kernel ceil-quantizes its side, keeping the skip strict.
+    item_zmin = jnp.min(
+        jnp.where(hit, bm[..., 4], jnp.float32(_FAR)), axis=1
+    )
+    item_zmin_q = jnp.floor(
+        jnp.clip(item_zmin, 0.0, 2.0) * (1 << 20)
+    ).astype(jnp.int32)
 
     meta = jnp.stack(
         [

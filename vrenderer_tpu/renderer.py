@@ -49,6 +49,13 @@ class FrameParams(NamedTuple):
     light_irradiance: jnp.ndarray
     light_color: jnp.ndarray         # (3,)
     exposure: jnp.ndarray
+    # EditorParams.m_RenderTerrain gate (Renderer.cpp:401-415 region):
+    # 0.0 skips terrain visibility — sky-only frame, no recompile.
+    render_terrain: jnp.ndarray
+    # EditorParams.m_DebugQuadTree analog (Renderer.cpp:481-513 draws
+    # selected nodes as green cubes): 1.0 tints covered pixels by a hash
+    # of their instance (quadtree node) id so node boundaries are visible.
+    debug_quadtree: jnp.ndarray
 
     @staticmethod
     def default(light: LightParams = LightParams()) -> "FrameParams":
@@ -59,6 +66,8 @@ class FrameParams(NamedTuple):
             light_irradiance=jnp.float32(light.irradiance),
             light_color=jnp.asarray(light.color, jnp.float32),
             exposure=jnp.float32(1.0),
+            render_terrain=jnp.float32(1.0),
+            debug_quadtree=jnp.float32(0.0),
         )
 
 
@@ -69,6 +78,10 @@ class FrameOutput(NamedTuple):
     prim_id: jnp.ndarray      # (H, W) int32, -1 = background
     num_instances: jnp.ndarray  # () int32 (EditorParams.m_NumChunks analog)
     num_work_items: jnp.ndarray  # () int32 raster work-list fill
+    # () bool: work list or instance buffer overflowed this frame — output
+    # may be missing geometry. The reference asserts instead
+    # (TerrainPass.cpp:238); here it is surfaced so App/bench fail loudly.
+    overflow: jnp.ndarray
 
 
 class Renderer:
@@ -270,7 +283,7 @@ class Renderer:
         z, prim_id, attrs, instances, n_work = self._terrain_pass(
             vc, params, shadow_field, lock_instances
         )
-        covered = prim_id >= 0
+        covered = (prim_id >= 0) & (params.render_terrain > 0.5)
 
         albedo = attrs[..., vertex.ATTR_ALBEDO]
         normal = attrs[..., vertex.ATTR_NORMAL]
@@ -292,6 +305,20 @@ class Renderer:
         sky = lighting.sky_color(rays, params.light_direction)
         ldr_linear = jnp.where(covered[..., None], ldr_linear, sky)
 
+        # quadtree debug overlay: tint covered pixels by a node-id hash
+        # (green/red cube analog, Renderer.cpp:481-513); table-free so no
+        # per-pixel gather
+        inst_px = (prim_id // cfg.terrain.tris_per_instance).astype(
+            jnp.float32
+        )
+        tint = jnp.stack([
+            0.5 + 0.5 * jnp.sin(inst_px * 12.9898),
+            0.5 + 0.5 * jnp.sin(inst_px * 78.233 + 1.3),
+            0.5 + 0.5 * jnp.sin(inst_px * 37.719 + 2.6),
+        ], axis=-1)
+        dbg = params.debug_quadtree * covered[..., None].astype(jnp.float32)
+        ldr_linear = ldr_linear * (1.0 - 0.5 * dbg) + tint * (0.5 * dbg)
+
         # "Blit": sRGB encode into the LdrColor-equivalent
         ldr = lighting.srgb_encode(ldr_linear)
 
@@ -302,6 +329,10 @@ class Renderer:
                 instances.count, cfg.terrain.max_instances
             ),
             num_work_items=n_work,
+            overflow=(
+                (n_work > self.max_work)
+                | (instances.count > cfg.terrain.max_instances)
+            ),
         )
 
     def render(self, camera: Camera, params: Optional[FrameParams] = None
