@@ -33,7 +33,7 @@ from vrenderer_tpu.ops.raster import F32_FAR
 WIDTH, HEIGHT = 1920, 1152
 
 
-def build_inputs():
+def build_inputs(cam_idx=0):
     from vrenderer_tpu.config import FrameConfig, TerrainSettings
     from vrenderer_tpu.renderer import Renderer, FrameParams
     from vrenderer_tpu.terrain import heightmap as hmod, quadtree
@@ -49,7 +49,8 @@ def build_inputs():
                  max_work=2048)
     params = FrameParams.default()
     cams = flythrough(64, heightmap=hm, max_height=400.0)
-    cam = Camera(eye=cams.eye[0], target=cams.target[0], up=cams.up[0])
+    cam = Camera(eye=cams.eye[cam_idx], target=cams.target[cam_idx],
+                 up=cams.up[cam_idx])
 
     ts = cfg.terrain
     vc = make_view_constants(cam, cfg.width, cfg.height, cfg.vfov_degrees,
@@ -379,8 +380,16 @@ def _t(f):
 
 
 if __name__ == "__main__":
-    variants = sys.argv[1:] or ["stats"]
-    cfg, packed, work = build_inputs()
+    args = sys.argv[1:] or ["stats"]
+    cam_idx = 0
+    variants = []
+    for a in args:
+        if a.startswith("cam="):
+            cam_idx = int(a[4:])
+        else:
+            variants.append(a)
+    cfg, packed, work = build_inputs(cam_idx)
+    print(f"camera {cam_idx}")
     for v in variants:
         if v == "stats":
             work_stats(cfg, packed, work)

@@ -101,6 +101,42 @@ def tonemap(
     return jnp.clip(c * scale[..., None], 0.0, 1.0)
 
 
+def adapt_exposure(
+    hdr: jnp.ndarray,              # (H, W, 3) linear HDR
+    covered: jnp.ndarray,          # (H, W) bool (background excluded)
+    adapted_lum: jnp.ndarray,      # () previous adapted luminance
+    dt: jnp.ndarray,               # seconds since last frame
+    speed_up: float = 1.0,
+    speed_down: float = 1.0,
+    min_lum: float = 0.02,
+    max_lum: float = 4.0,
+    middle_grey: float = 0.5,
+):
+    """Eye adaptation: (new_adapted_lum, exposure_scale).
+
+    The reference advances donut's ToneMappingPass each frame
+    (``m_ToneMappingPass->AdvanceFrame(seconds)``, Renderer.cpp:188-189),
+    which EMA-tracks the frame's average log luminance at
+    eyeAdaptationSpeedUp/Down and exposes middleGrey/adaptedLum.
+    Histogram-free TPU version: geometric-mean luminance of covered
+    pixels (one fused reduction), exponential approach with separate
+    up/down rates, clamped adapted range. Pure function of traced
+    values — jit-carryable across frames.
+    """
+    lum = (
+        0.2126 * hdr[..., 0] + 0.7152 * hdr[..., 1] + 0.0722 * hdr[..., 2]
+    )
+    logl = jnp.log2(jnp.maximum(lum, 1e-6))
+    n = jnp.maximum(jnp.sum(covered.astype(jnp.float32)), 1.0)
+    target = jnp.exp2(jnp.sum(jnp.where(covered, logl, 0.0)) / n)
+    target = jnp.clip(target, min_lum, max_lum)
+    speed = jnp.where(target > adapted_lum, speed_up, speed_down)
+    blend = 1.0 - jnp.exp(-dt * speed)
+    new_lum = adapted_lum + (target - adapted_lum) * blend
+    new_lum = jnp.clip(new_lum, min_lum, max_lum)
+    return new_lum, middle_grey / new_lum
+
+
 def srgb_encode(linear: jnp.ndarray) -> jnp.ndarray:
     l = jnp.clip(linear, 0.0, 1.0)
     return jnp.where(

@@ -265,8 +265,16 @@ class Renderer:
                               instances) -> FrameOutput:
         return self._frame_impl(camera, params, instances)
 
+    def _frame_adaptive(self, camera: Camera, params: FrameParams,
+                        adapted_lum: jnp.ndarray, dt: jnp.ndarray):
+        """Frame with eye adaptation: returns (FrameOutput, new_adapted_lum).
+        Reference: tonemap auto-exposure advanced per frame
+        (m_ToneMappingPass->AdvanceFrame(seconds), Renderer.cpp:188-189)."""
+        return self._frame_impl(camera, params, None,
+                                adapt=(adapted_lum, dt))
+
     def _frame_impl(self, camera: Camera, params: FrameParams,
-                    lock_instances) -> FrameOutput:
+                    lock_instances, adapt=None):
         cfg = self.config
         vc = make_view_constants(
             camera, cfg.width, cfg.height, cfg.vfov_degrees,
@@ -298,8 +306,16 @@ class Renderer:
             params.light_color, params.ambient_intensity,
         )
 
-        # "ToneMapping"
-        ldr_linear = lighting.tonemap(hdr, params.exposure)
+        # "ToneMapping" (with optional eye adaptation carry)
+        exposure = params.exposure
+        new_adapted = None
+        if adapt is not None:
+            adapted_lum, dt = adapt
+            new_adapted, scale = lighting.adapt_exposure(
+                hdr, covered, adapted_lum, dt
+            )
+            exposure = exposure * scale
+        ldr_linear = lighting.tonemap(hdr, exposure)
 
         # "Sky" — after tonemap, depth-tested (Renderer.cpp:430-439)
         sky = lighting.sky_color(rays, params.light_direction)
@@ -323,7 +339,7 @@ class Renderer:
         ldr = lighting.srgb_encode(ldr_linear)
 
         depth = jnp.where(covered, z, 1.0)
-        return FrameOutput(
+        out = FrameOutput(
             ldr=ldr, hdr=hdr, depth=depth, prim_id=prim_id,
             num_instances=jnp.minimum(
                 instances.count, cfg.terrain.max_instances
@@ -334,12 +350,26 @@ class Renderer:
                 | (instances.count > cfg.terrain.max_instances)
             ),
         )
+        if adapt is not None:
+            return out, new_adapted
+        return out
 
     def render(self, camera: Camera, params: Optional[FrameParams] = None
                ) -> FrameOutput:
         if params is None:
             params = FrameParams.default(self.light)
         return self._frame_jit(camera, params)
+
+    def render_adaptive(self, camera: Camera, params: FrameParams,
+                        adapted_lum, dt):
+        """Render with eye adaptation; thread the returned adapted
+        luminance into the next call (seed: lighting.adapt_exposure's
+        clamp midpoint, e.g. 0.5). Returns (FrameOutput, adapted_lum)."""
+        if not hasattr(self, "_frame_adaptive_jit"):
+            self._frame_adaptive_jit = jax.jit(self._frame_adaptive)
+        return self._frame_adaptive_jit(
+            camera, params, jnp.float32(adapted_lum), jnp.float32(dt)
+        )
 
     # -- editor-parity APIs -------------------------------------------------
 
