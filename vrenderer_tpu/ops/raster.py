@@ -30,9 +30,16 @@ triangles (no top-left tie rule; f32 edge functions make exact ties
 benign: z and attributes agree on the shared edge — deviation from strict
 D3D fill rules, documented).
 
-Triangles with any vertex at w <= eps are culled instead of near-clipped
-(homogeneous near clipping is a planned extension; the flythrough
-workloads keep terrain well inside the near plane).
+Near-plane handling is clipless (Olano & Greer, "Triangle Scan Conversion
+using 2D Homogeneous Coordinates"): triangles crossing w = 0 get their
+edge and interpolation coefficients from the clip-space adjugate (no
+division by w), which rasterizes exactly the visible w > 0 region —
+the reference gets the same result from hardware clipping behind
+TerrainPass.cpp:222, but clipless needs no fixed-shape geometry
+expansion. A per-pixel z >= 0 coverage test supplies the near plane
+itself (hardware clips 0 <= z <= w; the far test is left to LOD).
+Fully in-front triangles keep the better-conditioned screen-space
+setup; the two formulations agree to fp rounding on shared coverage.
 
 This module is the portable XLA implementation (CPU-testable, and used
 for the full frame on small configs). ops/raster_pallas.py provides the
@@ -179,6 +186,55 @@ def setup_triangles(
     w_ok = jnp.all(pw > w_eps, axis=-1)
     valid = front & w_ok & on_screen & inst_valid[:, None]
 
+    # --- clipless near-plane path for w-crossing triangles ---------------
+    # Homogeneous 2D formulation: with M rows (sx*w, sy*w, w) per vertex
+    # (linear in clip coords, defined for any w), every screen-affine
+    # quantity q solves M @ coef = (q*w at verts), i.e. coef =
+    # adj(M) @ v / det(M). Unnormalized barycentric planes are the
+    # adjugate columns u_i = cross(vert_{i+1}, vert_{i+2}); inside the
+    # VISIBLE (w > 0) part of the triangle, u_i/det >= 0 for all i, and
+    # front facing is det < 0 under this module's orientation (for
+    # in-front triangles det = w0*w1*w2 * area2, matching area2 < 0).
+    pc = tri_take(clip)                           # (I, T, 3, 4)
+    Xh = (pc[..., 0] + pc[..., 3]) * (0.5 * width)
+    Yh = (pc[..., 3] - pc[..., 1]) * (0.5 * height)
+    Vh = jnp.stack([Xh, Yh, pc[..., 3]], axis=-1)  # (I, T, 3, 3)
+    u0 = jnp.cross(Vh[..., 1, :], Vh[..., 2, :])
+    u1 = jnp.cross(Vh[..., 2, :], Vh[..., 0, :])
+    u2 = jnp.cross(Vh[..., 0, :], Vh[..., 1, :])
+    det = jnp.sum(Vh[..., 0, :] * u0, axis=-1)     # (I, T)
+    h_edges = -jnp.stack([u0, u1, u2], axis=-2)    # inside = all >= 0
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+
+    def h_plane(v):  # v: q*w values at verts (zc for z_ndc, 1 for 1/w, a)
+        return (
+            u0 * v[..., 0:1] + u1 * v[..., 1:2] + u2 * v[..., 2:3]
+        ) * inv_det[..., None]
+
+    h_quants = [pc[..., 2], jnp.ones_like(pw)] + [
+        pa[..., i] for i in range(A)
+    ]
+    h_planes = jnp.stack([h_plane(q) for q in h_quants], axis=-2)
+
+    behind = pw <= w_eps
+    crossing = jnp.any(behind, axis=-1) & jnp.any(~behind, axis=-1)
+    h_front = det < 0.0
+    full_bbox = jnp.asarray(
+        [0.0, 0.0, width - 1.0, height - 1.0], jnp.float32
+    )
+    h_ok = (
+        crossing & h_front & inst_valid[:, None]
+        & jnp.all(jnp.isfinite(h_planes), axis=(-2, -1))
+        & jnp.all(jnp.isfinite(h_edges), axis=(-2, -1))
+    )
+
+    edges = jnp.where(crossing[..., None, None], h_edges, edges)
+    planes = jnp.where(crossing[..., None, None], h_planes, planes)
+    # the visible part of a crossing triangle can span the whole screen
+    # (its w->0 locus projects to infinity): conservative full-frame bbox
+    bbox = jnp.where(crossing[..., None], full_bbox, bbox)
+    valid = jnp.where(crossing, h_ok, valid)
+
     # normalize each edge by its gradient magnitude: E becomes the signed
     # pixel distance to the edge (sign/coverage unchanged; enables the
     # wireframe fill mode, reference RasterFillMode::Wireframe,
@@ -235,6 +291,9 @@ def rasterize_tile_z(
     if wire_px > 0.0:
         cover = cover & (jnp.min(ev, axis=1) <= wire_px)
     zv = affine(zplane)                                 # (B, P)
+    # near plane: hardware clips z < 0 (0 <= z <= w); required for the
+    # clipless crossing-triangle path, harmless for in-front triangles
+    cover = cover & (zv >= 0.0)
     live = cover & (tri_id >= 0)[:, None]
     worst = -F32_FAR if reverse_z else F32_FAR
     zv = jnp.where(live, zv, worst)

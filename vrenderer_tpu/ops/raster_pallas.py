@@ -159,9 +159,10 @@ def instance_screen_bbox(
     world: jnp.ndarray, world_to_clip: jnp.ndarray, width: int, height: int,
     inst_valid: jnp.ndarray, w_eps: float = 1e-4,
 ):
-    """Conservative per-instance pixel bbox over in-front vertices only
-    (triangles touching any w <= eps vertex are culled by setup, so this
-    covers everything renderable; parent-emitted quadtree nodes are not
+    """Conservative per-instance pixel bbox: in-front vertex hull, widened
+    to the full frame when the instance straddles the near plane (its
+    clipless crossing triangles can reach any pixel). Instances fully
+    behind are dropped (parent-emitted quadtree nodes are not
     frustum-tested — QuadTree.cpp:122-126 — and often sit behind the
     camera). Returns (bbox (I, 4), usable (I,), mean_dist (I,))."""
     from vrenderer_tpu.utils import math3d
@@ -176,8 +177,17 @@ def instance_screen_bbox(
     y0 = jnp.min(jnp.where(front, xy[..., 1], big), axis=1)
     x1 = jnp.max(jnp.where(front, xy[..., 0], -big), axis=1)
     y1 = jnp.max(jnp.where(front, xy[..., 1], -big), axis=1)
-    on = (x1 >= 0) & (y1 >= 0) & (x0 < width) & (y0 < height)
     any_front = jnp.any(front, axis=1)
+    # an instance with verts on both sides of the near plane may own
+    # clipless crossing triangles whose visible region extends beyond the
+    # in-front-vertex hull — conservative full-frame bbox (rare: only the
+    # instance(s) under the camera)
+    crossing = any_front & jnp.any(~front, axis=1)
+    x0 = jnp.where(crossing, 0.0, x0)
+    y0 = jnp.where(crossing, 0.0, y0)
+    x1 = jnp.where(crossing, width - 1.0, x1)
+    y1 = jnp.where(crossing, height - 1.0, y1)
+    on = (x1 >= 0) & (y1 >= 0) & (x0 < width) & (y0 < height)
     # camera distance proxy (clip w ~ view depth) for near-to-far ordering
     dist = jnp.where(front, clip[..., 3], big).min(axis=1)
     return (
@@ -473,7 +483,9 @@ def _raster_kernel(
                     zq = erel[:, 3 * P:4 * P] + off(_R_Z)
 
                     m = jnp.minimum(e0, jnp.minimum(e1, e2))
-                    cover = (m >= 0.0) & live
+                    # zq >= 0 is the near plane (clipless crossing tris;
+                    # see ops/raster.py setup docstring)
+                    cover = (m >= 0.0) & live & (zq >= 0.0)
                     if wire_px > 0.0:
                         cover = cover & (m <= wire_px)
                     zv = jnp.where(cover, zq, worst)
