@@ -58,11 +58,10 @@ def _run_both(eye, target):
     )
     work = raster_pallas.build_work_list(
         bbox, usable, W, H, tile=128, tris_per_inst=T, max_work=256,
-        order_key=dist, batch_meta=packed.batch_meta,
-        tri_xspan=raster_pallas.tri_xspans(setup, I, T),
+        order_key=dist, packed=packed, compact_k=16,
     )
     z_p, id_p, at_p, _ = raster_pallas.rasterize_pallas(
-        packed, work, W, H, tile=128, sub_h=8, tri_batch=64,
+        packed, work, W, H, tile=128, sub_h=8, compact_k=16,
         max_work=256, interpret=True,
     )
     return (z_x, id_x, at_x), (z_p, id_p, at_p), inst
@@ -108,10 +107,7 @@ def test_work_list_structure():
     )
     work = raster_pallas.build_work_list(
         bbox, usable, W, H, tile=128, tris_per_inst=SET.tris_per_instance,
-        max_work=256, order_key=dist, batch_meta=packed2.batch_meta,
-        tri_xspan=raster_pallas.tri_xspans(
-            setup, SET.max_instances, SET.tris_per_instance
-        ),
+        max_work=256, order_key=dist, packed=packed2,
     )
     meta = np.asarray(work.meta)
     n = int(work.num_items)

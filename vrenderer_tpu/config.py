@@ -82,10 +82,13 @@ class RasterSettings:
     # Fine evaluation window inside a supertile: (8, 128) is the native
     # f32 VPU tile. Triangle batches are tested against these subtiles.
     subtile_h: int = 8
-    # Triangle batch size for [batch x pixels] edge evaluation
-    # (32 measured fastest at 1080p on v5e: thinner strips cut subtile
-    # overlap and per-eval VPU passes).
+    # Batch granularity for the host-side conservative z-range metadata
+    # (feeds item-level early-z bounds in the work-list builder).
     tri_batch: int = 32
+    # Compaction width: per (work item, subtile) the triangles touching
+    # the subtile are compacted into groups of this many rows via a
+    # one-hot MXU matmul, then evaluated densely over the subtile.
+    compact_k: int = 32
     # Interpolated vertex-attribute channels (albedo3, normal3, shadow,
     # height).
     attr_channels: int = 8

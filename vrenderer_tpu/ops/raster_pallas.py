@@ -1,4 +1,5 @@
-"""TPU fast-path rasterizer: a fused Pallas kernel.
+"""TPU fast-path rasterizer: a fused Pallas kernel with per-subtile
+triangle compaction.
 
 Replaces the reference's hardware rasterization + depth test behind
 drawIndexed (TerrainPass.cpp:215-222) with a single Pallas kernel shaped
@@ -11,26 +12,46 @@ Structure:
 * Screen is divided into 128x128-pixel supertiles. Instances are binned
   to supertiles by screen bbox ([instances x supertiles] dense overlap +
   cumsum compaction) into a flat, supertile-major work list ordered
-  near-to-far within each tile (so early-z can reject occluded batches).
-* One grid step per work item. Scalar-prefetched metadata drives the
-  input index_maps (block-sparse DMA of one instance's triangle data);
-  consecutive steps share a supertile so its z/id/coefficient state stays
-  VMEM-resident.
-* Edge/depth evaluation rides the MXU: each 128-triangle batch's 12
-  affine coefficients (3 edges + z plane) are multiplied once per batch
-  against a constant block-diagonal SUBTILE-RELATIVE pixel matrix
-  (48 x 4*1024), yielding all edge/z values for every pixel position of
-  an 8x128 subtile at once; per subtile only a (128, 4) origin-offset
-  matmul and broadcast-adds remain. The VPU does just the
-  coverage/min/merge chain (~8 passes over (128, 1024)).
-* Attributes resolve in the same pass: a one-hot [27 x 128-tri] @
-  [128 x 1024-px] MXU matmul swaps the depth winner's interpolation
-  PLANE COEFFICIENTS into the per-pixel accumulator (exactly-one-hot via
-  masked-iota-min; ties break to the lowest triangle id).
-* Per-batch screen bboxes and conservative z-ranges are precomputed
-  host-side (pack_tri_data) and scalar-compared in-kernel: batches skip
-  subtiles they do not touch, and early-z rejects batches strictly behind
-  a fully-covered subtile.
+  near-to-far within each tile (so early-z can reject occluded items).
+* One grid step per (instance, supertile) work item. Scalar-prefetched
+  metadata drives the input index_maps (block-sparse DMA of one
+  instance's triangle data); consecutive steps share a supertile so its
+  z/id/coefficient state stays VMEM-resident.
+* Per (item, subtile), the relevant triangles (those whose bbox touches
+  the 8-pixel-high subtile row — typically 10-40 of the instance's 2048)
+  are COMPACTED into fixed-width groups of K via a rank-from-cumsum
+  one-hot MXU matmul: rank = prefix-sum of the subtile's incidence mask,
+  one_hot[k, t] = (rank[t] == r*K + k), compacted = one_hot @ tri_data.
+  This is the difference between sweeping every (batch, subtile) pair
+  densely (the round-1 kernel: ~57k evaluations of (64 tris, 1024 px)
+  per 1080p frame) and evaluating only ~7k compacted groups.
+* Compaction is kept essentially exact in f32 by pre-splitting the f32
+  triangle data into three bf16 terms host-side (hi = bf16(x),
+  mid = bf16(x - hi), lo = bf16(x - hi - mid)) and summing the three
+  one-hot matmuls lowest-term-first: each product is exact (the one-hot
+  factor is 0/1), and the ascending reassociation bounds the residual by
+  |x - hi - mid - lo| <= 2^-27 |x| — below f32 ulp, so compacted
+  coefficients match the originals to <= 1 ulp on hardware and exactly
+  under CPU interpret (where the dots run in f32).
+* Edge/depth evaluation rides the MXU: each compacted group's 12 affine
+  coefficients (3 edges + z plane) are multiplied once against a
+  constant block-diagonal SUBTILE-RELATIVE pixel matrix (48 x 4*1024),
+  yielding all edge/z values for every pixel of the 8x128 subtile at
+  once; per subtile only broadcast origin offsets remain. The VPU does
+  just the coverage/min/merge chain.
+* Attributes resolve in the same pass: a one-hot [27 x K] @ [K x 1024]
+  MXU matmul swaps the depth winner's interpolation PLANE COEFFICIENTS
+  into the per-pixel accumulator (exactly-one-hot via masked-iota-min;
+  ties break to the lowest triangle id). The winner's original triangle
+  index rides two bf16-exact id channels through the same matmul.
+* Per-(item, subtile) round counts (ceil(count / K)) are precomputed
+  host-side into scalar-prefetch SMEM, so the kernel's hot loops read
+  only cheap SMEM scalars (VMEM scalar extraction measured ~1 us each).
+  Compaction makes the group loop exact: no work-list-range overflow
+  can drop triangles.
+* Early-z: items strictly behind a fully covered tile are skipped
+  exactly (fixed-point bounds with opposing roundings; near-to-far item
+  order makes occluded instances skip outright).
 
 Depth convention matches ops/raster.py (the reference's LessOrEqual /
 GreaterOrEqual PipelineKey bits, TerrainPass.cpp:478-482). Semantics are
@@ -49,15 +70,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vrenderer_tpu.ops.raster import TriSetup, F32_FAR
 
-# packed tri-data rows (last axis of the [I, T, 48] block)
+# packed tri-data rows (last axis of the [I, T, 48] layout; carried to the
+# kernel as three bf16 split terms, see pack_tri_data)
 _R_EDGE = 0          # 9: three edges x (a, b, c)
 _R_Z = 9             # 3: z plane
 _R_COEF = 12         # 27: [inv_w, attr0..7] planes, SoA (a[9], b[9], c[9])
 _R_VALID = 39        # 1
-_R_BBOX = 40         # 4: x0, y0, x1, y1 (pixels)
+_R_ID = 40           # 2: local tri index t split as ((t//256)*256, t%256)
+                     #    (each term bf16-exact so id survives the one-hot
+                     #    matmuls without rounding)
 _R_TOTAL = 48
 
-# batch-meta rows (per 128-triangle batch): bbox + z range
+# tri_cols rows (the [I, 8, T] lane-major layout the kernel builds subtile
+# incidence masks from; T on lanes so ranks/one-hots need no transposes)
+_C_X0, _C_Y0, _C_X1, _C_Y1, _C_VALID = 0, 1, 2, 3, 4
+_C_ROWS = 8
+
+# batch-meta rows (per tri_batch triangles): bbox + z range (host-side
+# only: feeds the work-list builder's per-item conservative zmin)
 _BM_COLS = 8         # x0, y0, x1, y1, zmin, zmax, pad, pad
 
 NUM_COEF = 27        # inv_w + 8 attrs, 3 coefficients each
@@ -66,8 +96,38 @@ _BIG_ID = 2**31 - 1
 
 
 class PackedTris(NamedTuple):
-    tri_data: jnp.ndarray     # (I, T, 48) f32
+    tri_splits: jnp.ndarray   # (I, 3, T, 48) bf16 — hi/mid/lo split terms
+    tri_cols: jnp.ndarray     # (I, 8, T) f32 — bbox/valid, lane-major
     batch_meta: jnp.ndarray   # (I, n_batch, 8) f32
+
+
+def _split3_bf16(x: jnp.ndarray):
+    """f32 -> three bf16 terms with x == hi + mid + lo EXACTLY.
+
+    Truncation split by mantissa masking: bf16 is the top 16 bits of f32,
+    so masking the low 16 bits yields a bf16-exact value and an exactly
+    representable remainder; three 8-bit chunks cover the full 24-bit f32
+    significand. Bit-masking instead of f32->bf16->f32 casts matters:
+    XLA's default --xla_allow_excess_precision folds the cast round-trip
+    into identity on TPU, silently zeroing the mid/lo terms (observed as
+    a 2^-8 relative z error on hardware). The only residual inexactness
+    is bf16-subnormal flushing for |term| < 2^-126 — far below any
+    coefficient this kernel consumes."""
+    def trunc(v):
+        u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+
+    hi = trunc(x)
+    r1 = x - hi
+    mid = trunc(r1)
+    lo = r1 - mid
+    return (
+        hi.astype(jnp.bfloat16),
+        mid.astype(jnp.bfloat16),
+        lo.astype(jnp.bfloat16),
+    )
 
 
 def pack_tri_data(
@@ -77,9 +137,9 @@ def pack_tri_data(
     """TriSetup (flat I*T) -> block-sparse kernel layout + batch metadata.
 
     Invalid triangles (w <= eps, degenerate, culled) can carry inf/NaN
-    coefficients; they are zeroed so the kernel's one-hot coefficient
-    matmul (which contracts the whole batch) never sees NaN.
-    """
+    coefficients; they are zeroed so the kernel's one-hot compaction
+    matmul (which contracts the whole instance) never sees NaN (the MXU
+    turns 0 * NaN into NaN)."""
     n = num_instances * tris_per_inst
     ok = setup.valid[:, None]
     edge = jnp.where(ok, setup.edge.reshape(n, 9), 0.0)
@@ -89,15 +149,43 @@ def pack_tri_data(
     # to unsupported gathers in Mosaic
     coef = jnp.swapaxes(planes3[:, 1:10, :], 1, 2).reshape(n, 27)
     valid = setup.valid.astype(jnp.float32)[:, None]
-    bbox = jnp.where(ok, setup.bbox, 0.0)
-    pad = jnp.zeros((n, _R_TOTAL - 44), jnp.float32)
-    packed = jnp.concatenate([edge, z, coef, valid, bbox, pad], axis=1)
-    tri_data = packed.reshape(num_instances, tris_per_inst, _R_TOTAL)
+    t_local = jnp.tile(
+        jnp.arange(tris_per_inst, dtype=jnp.int32), num_instances
+    )
+    id_hi = ((t_local // 256) * 256).astype(jnp.float32)[:, None]
+    id_lo = (t_local % 256).astype(jnp.float32)[:, None]
+    pad = jnp.zeros((n, _R_TOTAL - 42), jnp.float32)
+    packed = jnp.concatenate(
+        [edge, z, coef, valid, id_hi, id_lo, pad], axis=1
+    )
+    hi, mid, lo = _split3_bf16(packed)
+    tri_splits = jnp.stack(
+        [
+            t.reshape(num_instances, tris_per_inst, _R_TOTAL)
+            for t in (hi, mid, lo)
+        ],
+        axis=1,
+    )  # (I, 3, T, 48)
 
-    # per-batch conservative screen bbox + z range (for in-kernel skips)
+    # lane-major bbox/valid columns for in-kernel subtile masks
+    bbox = jnp.where(
+        ok, setup.bbox,
+        jnp.asarray([_FAR, _FAR, -_FAR, -_FAR], jnp.float32),
+    ).reshape(num_instances, tris_per_inst, 4)
+    vcol = setup.valid.astype(jnp.float32).reshape(
+        num_instances, tris_per_inst
+    )
+    zero = jnp.zeros_like(vcol)
+    tri_cols = jnp.stack(
+        [bbox[..., 0], bbox[..., 1], bbox[..., 2], bbox[..., 3],
+         vcol, zero, zero, zero],
+        axis=1,
+    )  # (I, 8, T)
+
+    # per-batch conservative screen bbox + z range (work-list builder:
+    # item-level early-z bound)
     nb = tris_per_inst // tri_batch
     vb = setup.valid.reshape(num_instances, nb, tri_batch)
-    bb = setup.bbox.reshape(num_instances, nb, tri_batch, 4)
     big = jnp.where(ok, setup.bbox, jnp.asarray(
         [_FAR, _FAR, -_FAR, -_FAR], jnp.float32)
     ).reshape(num_instances, nb, tri_batch, 4)
@@ -105,7 +193,6 @@ def pack_tri_data(
     by0 = jnp.min(big[..., 1], axis=-1)
     bx1 = jnp.max(big[..., 2], axis=-1)
     by1 = jnp.max(big[..., 3], axis=-1)
-    del bb
     # conservative batch z-range from the z plane evaluated at bbox
     # corners of each tri (z is affine, extrema at corners)
     zp = jnp.where(ok, setup.planes[:, 0, :], 0.0).reshape(
@@ -121,38 +208,28 @@ def pack_tri_data(
     zmax_t = jnp.where(vb, jnp.max(zc, -1), -_FAR)
     bzmin = jnp.min(zmin_t, axis=-1)
     bzmax = jnp.max(zmax_t, axis=-1)
-    zero = jnp.zeros_like(bx0)
+    zero_b = jnp.zeros_like(bx0)
     batch_meta = jnp.stack(
-        [bx0, by0, bx1, by1, bzmin, bzmax, zero, zero], axis=-1
+        [bx0, by0, bx1, by1, bzmin, bzmax, zero_b, zero_b], axis=-1
     )
-    return PackedTris(tri_data=tri_data, batch_meta=batch_meta)
-
-
-def tri_xspans(setup: TriSetup, num_instances: int, tris_per_inst: int):
-    """(I, T, 2) per-triangle x extents for build_work_list's range
-    refinement; invalid triangles get an empty span."""
-    ok = setup.valid[:, None]
-    span = jnp.where(
-        ok,
-        setup.bbox[:, (0, 2)],
-        jnp.asarray([_FAR, -_FAR], jnp.float32),
+    return PackedTris(
+        tri_splits=tri_splits, tri_cols=tri_cols, batch_meta=batch_meta
     )
-    return span.reshape(num_instances, tris_per_inst, 2)
 
 
 class WorkList(NamedTuple):
     """Flat supertile-major work items.
 
     meta rows: st, inst, first, last, base_id, item_valid, tile_y, tile_x,
-    b_lo, b_hi (inclusive batch range hitting the tile), item zmin
-    (f32 bits, for exact early-z skips).
-    sub_range[k, w]: per-(item, batch-k) packed subtile range
-    (s_lo * 64 + s_hi, inclusive; s_lo > s_hi encodes "skip"), so the
-    kernel reads only cheap SMEM scalars in its hot loops."""
+    item zmin (fixed-point, for exact early-z skips).
+    sub_rounds[s, w]: per-(item, subtile) compaction round count
+    ceil(count / K); 0 means the subtile has no triangles from this item.
+    Exact counts — the kernel loops exactly this many one-hot rounds, so
+    no triangle is ever dropped by a range cap."""
 
-    meta: jnp.ndarray       # (11, MAX_WORK) int32
-    sub_range: jnp.ndarray  # (n_batch, MAX_WORK) int32
-    num_items: jnp.ndarray  # () int32 (> MAX_WORK means overflow/drop)
+    meta: jnp.ndarray        # (9, MAX_WORK) int32
+    sub_rounds: jnp.ndarray  # (n_sub, MAX_WORK) int32
+    num_items: jnp.ndarray   # () int32 (> MAX_WORK means overflow/drop)
 
 
 def instance_screen_bbox(
@@ -205,20 +282,18 @@ def build_work_list(
     tris_per_inst: int = 2048,
     max_work: int = 2048,
     order_key: jnp.ndarray | None = None,  # (I,) ascending processing order
-    batch_meta: jnp.ndarray = None,  # (I, n_batch, 8) from pack — required
+    packed: PackedTris = None,  # from pack_tri_data — required
     sub_h: int = 8,
-    tri_xspan: jnp.ndarray | None = None,  # (I, T, 2) per-tri x0/x1 pixels
+    compact_k: int = 32,
 ) -> WorkList:
     """Supertile-major (st, instance) pairs, one leading dummy per
     supertile. With order_key (camera distance), instances are emitted
-    near-to-far within each tile so early-z culls occluded batches.
+    near-to-far within each tile so early-z culls occluded items.
 
-    sub_range packs, per (item, batch): subtile range s_lo/s_hi (5 bits
-    each) and — when tri_xspan is given — the index range [t_lo, t_hi]
-    of triangles whose x extent touches the tile (8 bits each; grid
-    strips sweep x monotonically so this superset bound is tight).
-    Negative = skip. The kernel evaluates only fixed-width chunks of
-    that range."""
+    sub_rounds[s, w] = ceil(#triangles of item w touching subtile s / K):
+    the exact number of K-wide compaction rounds the kernel runs."""
+    if packed is None:
+        raise ValueError("packed (from pack_tri_data) is required")
     tiles_x = -(-width // tile)
     tiles_y = -(-height // tile)
     n_st = tiles_x * tiles_y
@@ -278,16 +353,16 @@ def build_work_list(
     base_id = jnp.maximum(w_inst, 0) * tris_per_inst
     item_valid = (w_inst >= 0) & in_range
 
-    # per-item batch/subtile ranges from the per-batch bboxes, so the
-    # kernel's hot loops read only SMEM scalars (VMEM scalar extraction
-    # measured ~1us each — it dominated the first kernel's runtime)
-    if batch_meta is None:
-        raise ValueError("batch_meta (from pack_tri_data) is required")
-    n_batch = batch_meta.shape[1]
     inst_sel = jnp.maximum(w_inst, 0)
-    bm = batch_meta[inst_sel]                     # (W, n_batch, 8)
     tx0 = (w_st % tiles_x).astype(jnp.float32) * tile
     ty0 = (w_st // tiles_x).astype(jnp.float32) * tile
+
+    # conservative per-(item, tile) nearest depth for early-z: an item
+    # strictly behind every pixel of a fully covered tile can never
+    # win (nor tie), so skipping it is exactly lossless. Stored as
+    # floor-quantized fixed point (Mosaic cannot bitcast scalars);
+    # the kernel ceil-quantizes its side, keeping the skip strict.
+    bm = packed.batch_meta[inst_sel]              # (W, n_batch, 8)
     hit = (
         (bm[..., 0] <= tx0[:, None] + (tile - 1))
         & (bm[..., 2] >= tx0[:, None])
@@ -295,48 +370,50 @@ def build_work_list(
         & (bm[..., 3] >= ty0[:, None])
         & item_valid[:, None]
     )                                             # (W, n_batch)
-    bidx = jnp.arange(n_batch, dtype=jnp.int32)[None, :]
-    b_lo = jnp.min(jnp.where(hit, bidx, n_batch), axis=1)
-    b_hi = jnp.max(jnp.where(hit, bidx, -1), axis=1)
-    n_sub = tile // sub_h
-    s_lo = jnp.clip(
-        jnp.floor((bm[..., 1] - ty0[:, None]) / sub_h), 0, n_sub - 1
-    ).astype(jnp.int32)
-    s_hi = jnp.clip(
-        jnp.floor((bm[..., 3] - ty0[:, None]) / sub_h), 0, n_sub - 1
-    ).astype(jnp.int32)
-    B = tris_per_inst // n_batch
-    if tri_xspan is not None:
-        spans = tri_xspan[inst_sel].reshape(max_work, n_batch, B, 2)
-        tmask = (
-            (spans[..., 0] <= tx0[:, None, None] + (tile - 1))
-            & (spans[..., 1] >= tx0[:, None, None])
-        )
-        tidx = jnp.arange(B, dtype=jnp.int32)[None, None, :]
-        t_lo = jnp.min(jnp.where(tmask, tidx, B), axis=-1)
-        t_hi = jnp.max(jnp.where(tmask, tidx, -1), axis=-1)
-        hit = hit & (t_lo <= t_hi)
-    else:
-        t_lo = jnp.zeros((max_work, n_batch), jnp.int32)
-        t_hi = jnp.full((max_work, n_batch), B - 1, jnp.int32)
-    packed_range = jnp.where(
-        hit,
-        s_lo | (s_hi << 5) | (t_lo << 10) | (t_hi << 18),
-        jnp.int32(-1),
-    )
-    sub_range = packed_range.T                    # (n_batch, W)
-    b_lo = jnp.where(item_valid, b_lo, n_batch)
-    b_hi = jnp.where(item_valid, b_hi, -1)
-    # conservative per-(item, tile) nearest depth for early-z: an item
-    # strictly behind every pixel of a fully covered tile can never
-    # win (nor tie), so skipping it is exactly lossless. Stored as
-    # floor-quantized fixed point (Mosaic cannot bitcast scalars);
-    # the kernel ceil-quantizes its side, keeping the skip strict.
     item_zmin = jnp.min(
         jnp.where(hit, bm[..., 4], jnp.float32(_FAR)), axis=1
     )
     item_zmin_q = jnp.floor(
         jnp.clip(item_zmin, 0.0, 2.0) * (1 << 20)
+    ).astype(jnp.int32)
+
+    # per-(item, subtile) triangle counts -> compaction round counts.
+    # Chunked over items so the (chunk, n_sub, T) incidence mask stays
+    # bounded; XLA fuses the compare+reduce per chunk.
+    n_sub = tile // sub_h
+    cols = packed.tri_cols
+    chunk = 256
+    while max_work % chunk:
+        chunk //= 2
+    n_chunks = max_work // chunk
+
+    def cnt_chunk(args):
+        isel, txc, tyc = args
+        cc = cols[isel]                            # (chunk, 8, T)
+        xh = (
+            (cc[:, _C_X0] <= txc[:, None] + (tile - 1))
+            & (cc[:, _C_X1] >= txc[:, None])
+            & (cc[:, _C_VALID] > 0.0)
+        )                                          # (chunk, T)
+        sidx = jnp.arange(n_sub, dtype=jnp.float32)
+        sy0 = tyc[:, None] + sidx[None, :] * sub_h  # (chunk, n_sub)
+        mm = (
+            (cc[:, _C_Y0][:, None, :] <= sy0[..., None] + (sub_h - 1))
+            & (cc[:, _C_Y1][:, None, :] >= sy0[..., None])
+            & xh[:, None, :]
+        )                                          # (chunk, n_sub, T)
+        return jnp.sum(mm.astype(jnp.int32), axis=-1)
+
+    counts = jax.lax.map(
+        cnt_chunk,
+        (
+            inst_sel.reshape(n_chunks, chunk),
+            tx0.reshape(n_chunks, chunk),
+            ty0.reshape(n_chunks, chunk),
+        ),
+    ).reshape(max_work, n_sub)                     # (W, n_sub)
+    rounds = jnp.where(
+        item_valid[:, None], -(-counts // compact_k), 0
     ).astype(jnp.int32)
 
     meta = jnp.stack(
@@ -349,18 +426,31 @@ def build_work_list(
             item_valid.astype(jnp.int32),
             w_st // tiles_x,
             w_st % tiles_x,
-            b_lo,
-            b_hi,
             item_zmin_q,
         ]
     )
-    return WorkList(meta=meta, sub_range=sub_range, num_items=count)
+    return WorkList(meta=meta, sub_rounds=rounds.T, num_items=count)
+
+
+def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along the last (lane) axis via log2(n) shifted
+    adds (Mosaic has no cumsum lowering; pltpu.roll is circular, so each
+    step masks off the wrapped prefix)."""
+    n = x.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    sh = 1
+    while sh < n:
+        shifted = pltpu.roll(x, sh, axis=x.ndim - 1)
+        x = x + jnp.where(col >= sh, shifted, 0.0)
+        sh *= 2
+    return x
 
 
 def _raster_kernel(
-    meta_ref,     # scalar prefetch (11, MAX_WORK) int32
-    srange_ref,   # scalar prefetch (n_batch, MAX_WORK) int32
-    tri_ref,      # (1, T, 48) one instance's packed tris
+    meta_ref,     # scalar prefetch (9, MAX_WORK) int32
+    subr_ref,     # scalar prefetch (n_sub, MAX_WORK) int32
+    splits_ref,   # (1, 3, T, 48) bf16 — one instance's split tri data
+    cols_ref,     # (1, 8, T) f32 — bbox/valid columns, lane-major
     z_ref,        # (TILE, TILE) out
     id_ref,       # (TILE, TILE) int32 out
     attr_ref,     # (16, TILE, TILE) out
@@ -368,10 +458,11 @@ def _raster_kernel(
     id_scr,       # scratch (n_sub, sub_px) i32
     coef_acc,     # scratch (n_sub, 32, sub_px) f32
     rhs_rel,      # scratch (48, 4 * sub_px) f32 — block-diag pixel matrix
+    ranks,        # scratch (n_sub, T) f32 — masked compaction ranks
     *,
     tile: int,
     sub_h: int,
-    tri_batch: int,
+    compact_k: int,
     tris_per_inst: int,
     reverse_z: bool,
     wire_px: float,
@@ -382,13 +473,12 @@ def _raster_kernel(
     base_id = meta_ref[4, w]
     ty = meta_ref[6, w]
     tx = meta_ref[7, w]
-    b_lo = meta_ref[8, w]
-    b_hi = meta_ref[9, w]
 
     n_sub = tile // sub_h
     P = sub_h * tile
     worst = -_FAR if reverse_z else _FAR
-    B = tri_batch
+    K = compact_k
+    T = tris_per_inst
 
     x0f = tx.astype(jnp.float32) * tile
     y0f = ty.astype(jnp.float32) * tile
@@ -420,8 +510,7 @@ def _raster_kernel(
         id_scr[:] = jnp.full((n_sub, P), _BIG_ID, jnp.int32)
         coef_acc[:] = jnp.zeros_like(coef_acc)
 
-    W_E = min(64, B)  # evaluation chunk width (rows of triangles)
-    tri_iota = jax.lax.broadcasted_iota(jnp.int32, (W_E, P), 0)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
 
     # exact early-z: an item strictly behind every current depth in the
     # tile cannot win or tie anywhere (ties need z == stored z <= tile
@@ -433,116 +522,150 @@ def _raster_kernel(
     if reverse_z:
         run_item = item_valid_f == 1
     else:
-        zmin_q = meta_ref[10, w]
+        zmin_q = meta_ref[8, w]
         z_edge = jnp.max(z_scr[:])
         edge_q = jnp.ceil(
             jnp.clip(z_edge, 0.0, 2.0) * (1 << 20)
         ).astype(jnp.int32)
         run_item = (item_valid_f == 1) & (zmin_q <= edge_q)
 
-    def batch_body(b, _):
-        packed_range = srange_ref[b, w]
+    @pl.when(run_item)
+    def _run_item():
+        # per-item prep: subtile incidence masks -> compaction ranks.
+        # tri bbox/valid live lane-major in cols_ref so the (n_sub, T)
+        # masks, prefix sums, and (K, T) one-hots never transpose.
+        cb = cols_ref[0]                              # (8, T)
+        xhit = (
+            (cb[_C_X0:_C_X0 + 1, :] <= x0f + (tile - 1))
+            & (cb[_C_X1:_C_X1 + 1, :] >= x0f)
+            & (cb[_C_VALID:_C_VALID + 1, :] > 0.0)
+        )                                             # (1, T)
+        srow = jax.lax.broadcasted_iota(
+            jnp.int32, (n_sub, T), 0
+        ).astype(jnp.float32)
+        sy0v = y0f + srow * sub_h
+        m = (
+            (cb[_C_Y0:_C_Y0 + 1, :] <= sy0v + (sub_h - 1))
+            & (cb[_C_Y1:_C_Y1 + 1, :] >= sy0v)
+            & xhit
+        )                                             # (n_sub, T)
+        mf = m.astype(jnp.float32)
+        csum = _lane_cumsum(mf)
+        ranks[:] = jnp.where(m, csum - 1.0, -1.0)
 
-        @pl.when(packed_range >= 0)
-        def _hit():
-            s_lo = packed_range & 31
-            s_hi = (packed_range >> 5) & 31
-            t_lo = (packed_range >> 10) & 255
-            t_hi = (packed_range >> 18) & 255
-            n_chunks = (t_hi - t_lo + W_E) // W_E  # = cdiv(count, W_E)
+        def sub_body(s, _):
+            n_rounds = subr_ref[s, w]
+            sy0 = y0f + s.astype(jnp.float32) * sub_h
 
-            def chunk_body(k, _):
-                # fixed-width slice clamped into the batch; overlapping
-                # chunks re-evaluate the same triangles, which the merge
-                # is idempotent to
-                t0 = jnp.minimum(b * B + t_lo + k * W_E, b * B + B - W_E)
-                blk = tri_ref[0, pl.ds(t0, W_E), :]  # (W_E, 48)
+            def round_body(r, _):
+                rank_s = ranks[pl.ds(s, 1), :]        # (1, T)
+                slot = jax.lax.broadcasted_iota(
+                    jnp.int32, (K, T), 0
+                ).astype(jnp.float32) + (r * K).astype(jnp.float32)
+                oh = (rank_s == slot).astype(jnp.bfloat16)  # (K, T)
+                dims = (((1,), (0,)), ((), ()))
+                # ascending-term sum: lo, then mid, then hi. Each dot is
+                # a single exact bf16 MXU pass (the one-hot is 0/1).
+                blk = jax.lax.dot_general(
+                    oh, splits_ref[0, 2], dims,
+                    preferred_element_type=jnp.float32,
+                )
+                blk = blk + jax.lax.dot_general(
+                    oh, splits_ref[0, 1], dims,
+                    preferred_element_type=jnp.float32,
+                )
+                blk = blk + jax.lax.dot_general(
+                    oh, splits_ref[0, 0], dims,
+                    preferred_element_type=jnp.float32,
+                )                                     # (K, 48) f32
                 # all edge/z values at subtile-relative pixel positions:
-                # one MXU matmul for the chunk
+                # one MXU matmul for the group
                 erel = jax.lax.dot_general(
-                    blk, rhs_rel[:], (((1,), (0,)), ((), ())),
+                    blk, rhs_rel[:], dims,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
-                )  # (W_E, 4P)
-                live = blk[:, _R_VALID:_R_VALID + 1] > 0.0  # (W_E, 1)
-                coefs = blk[:, _R_COEF:_R_COEF + NUM_COEF]  # (W_E, 27)
+                )                                     # (K, 4P)
+                live = blk[:, _R_VALID:_R_VALID + 1] > 0.5
 
-                def sub_body(sidx, _):
-                    sy0 = y0f + sidx.astype(jnp.float32) * sub_h
+                def off(base):
+                    return (
+                        blk[:, base:base + 1] * x0f
+                        + blk[:, base + 1:base + 2] * sy0
+                        + blk[:, base + 2:base + 3]
+                    )  # (K, 1)
 
-                    def off(base):
-                        return (
-                            blk[:, base:base + 1] * x0f
-                            + blk[:, base + 1:base + 2] * sy0
-                            + blk[:, base + 2:base + 3]
-                        )  # (W_E, 1)
+                e0 = erel[:, 0 * P:1 * P] + off(_R_EDGE + 0)
+                e1 = erel[:, 1 * P:2 * P] + off(_R_EDGE + 3)
+                e2 = erel[:, 2 * P:3 * P] + off(_R_EDGE + 6)
+                zq = erel[:, 3 * P:4 * P] + off(_R_Z)
 
-                    e0 = erel[:, 0 * P:1 * P] + off(_R_EDGE + 0)
-                    e1 = erel[:, 1 * P:2 * P] + off(_R_EDGE + 3)
-                    e2 = erel[:, 2 * P:3 * P] + off(_R_EDGE + 6)
-                    zq = erel[:, 3 * P:4 * P] + off(_R_Z)
+                edge_min = jnp.minimum(e0, jnp.minimum(e1, e2))
+                # zq >= 0 is the near plane (clipless crossing tris;
+                # see ops/raster.py setup docstring)
+                cover = (jnp.minimum(edge_min, zq) >= 0.0) & live
+                if wire_px > 0.0:
+                    cover = cover & (edge_min <= wire_px)
+                zv = jnp.where(cover, zq, worst)
 
-                    m = jnp.minimum(e0, jnp.minimum(e1, e2))
-                    # zq >= 0 is the near plane (clipless crossing tris;
-                    # see ops/raster.py setup docstring)
-                    cover = (m >= 0.0) & live & (zq >= 0.0)
-                    if wire_px > 0.0:
-                        cover = cover & (m <= wire_px)
-                    zv = jnp.where(cover, zq, worst)
+                if reverse_z:
+                    z_best = jnp.max(zv, axis=0, keepdims=True)
+                else:
+                    z_best = jnp.min(zv, axis=0, keepdims=True)
+                idx = jnp.min(
+                    jnp.where(zv == z_best, kiota, K), axis=0,
+                    keepdims=True,
+                )  # (1, P)
+                covered = idx < K
 
-                    if reverse_z:
-                        z_best = jnp.max(zv, axis=0, keepdims=True)
-                    else:
-                        z_best = jnp.min(zv, axis=0, keepdims=True)
-                    idx = jnp.min(
-                        jnp.where(zv == z_best, tri_iota, W_E), axis=0,
-                        keepdims=True,
-                    )  # (1, P)
-                    covered = idx < W_E
-                    gid = jnp.where(covered, base_id + t0 + idx, _BIG_ID)
+                # winner one-hot: coefficient swap + original tri index.
+                # The id rides two bf16-exact channels ((t//256)*256 and
+                # t%256) so the default-precision matmul is exact.
+                ohw = (kiota == idx).astype(jnp.float32)   # (K, P)
+                wdims = (((0,), (0,)), ((), ()))
+                idv = jax.lax.dot_general(
+                    blk[:, _R_ID:_R_ID + 2], ohw, wdims,
+                    preferred_element_type=jnp.float32,
+                )                                          # (2, P)
+                tid = (idv[0:1, :] + idv[1:2, :]).astype(jnp.int32)
+                gid = jnp.where(covered, base_id + tid, _BIG_ID)
 
-                    zs = z_scr[pl.ds(sidx, 1), :]
-                    ids = id_scr[pl.ds(sidx, 1), :]
-                    if reverse_z:
-                        better = z_best > zs
-                    else:
-                        better = z_best < zs
-                    upd = covered & (
-                        better | ((z_best == zs) & (gid < ids))
-                    )
+                zs = z_scr[pl.ds(s, 1), :]
+                ids = id_scr[pl.ds(s, 1), :]
+                if reverse_z:
+                    better = z_best > zs
+                else:
+                    better = z_best < zs
+                upd = covered & (
+                    better | ((z_best == zs) & (gid < ids))
+                )
 
-                    onehot = (tri_iota == idx).astype(jnp.float32)
-                    # exact f32 coefficient swap in two DEFAULT-precision
-                    # (bf16) matmuls: the one-hot factor is exactly
-                    # representable, so splitting the coefficients hi/lo
-                    # loses nothing at 1/3 the HIGHEST-precision cost
-                    coef_hi = coefs.astype(jnp.bfloat16).astype(jnp.float32)
-                    coef_lo = coefs - coef_hi
-                    dims = (((0,), (0,)), ((), ()))
-                    new_coef = jax.lax.dot_general(
-                        coef_hi, onehot, dims,
-                        preferred_element_type=jnp.float32,
-                    ) + jax.lax.dot_general(
-                        coef_lo, onehot, dims,
-                        preferred_element_type=jnp.float32,
-                    )  # (27, P)
-                    acc = coef_acc[pl.ds(sidx, 1), 0:NUM_COEF, :]
-                    coef_acc[pl.ds(sidx, 1), 0:NUM_COEF, :] = jnp.where(
-                        upd[None], new_coef[None], acc
-                    )
-                    z_scr[pl.ds(sidx, 1), :] = jnp.where(upd, z_best, zs)
-                    id_scr[pl.ds(sidx, 1), :] = jnp.where(upd, gid, ids)
-                    return 0
-
-                jax.lax.fori_loop(s_lo, s_hi + 1, sub_body, 0)
+                # exact f32 coefficient swap: same ascending 3-term bf16
+                # split, against the winner one-hot
+                coefs = blk[:, _R_COEF:_R_COEF + NUM_COEF]  # (K, 27)
+                c_hi, c_mid, c_lo = _split3_bf16(coefs)
+                ohw_b = ohw.astype(jnp.bfloat16)
+                new_coef = jax.lax.dot_general(
+                    c_lo, ohw_b, wdims,
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    c_mid, ohw_b, wdims,
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    c_hi, ohw_b, wdims,
+                    preferred_element_type=jnp.float32,
+                )                                           # (27, P)
+                acc = coef_acc[pl.ds(s, 1), 0:NUM_COEF, :]
+                coef_acc[pl.ds(s, 1), 0:NUM_COEF, :] = jnp.where(
+                    upd[None], new_coef[None], acc
+                )
+                z_scr[pl.ds(s, 1), :] = jnp.where(upd, z_best, zs)
+                id_scr[pl.ds(s, 1), :] = jnp.where(upd, gid, ids)
                 return 0
 
-            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-        return 0
+            jax.lax.fori_loop(0, n_rounds, round_body, 0)
+            return 0
 
-    @pl.when(run_item)
-    def _run_batches():
-        jax.lax.fori_loop(b_lo, b_hi + 1, batch_body, 0)
+        jax.lax.fori_loop(0, n_sub, sub_body, 0)
 
     @pl.when(last == 1)
     def _finalize():
@@ -567,7 +690,7 @@ def _raster_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "tile", "sub_h", "tri_batch", "reverse_z",
+        "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
         "max_work", "interpret", "wire_px",
     ),
 )
@@ -578,7 +701,7 @@ def rasterize_pallas(
     height: int,
     tile: int = 128,
     sub_h: int = 8,
-    tri_batch: int = 128,
+    compact_k: int = 32,
     reverse_z: bool = False,
     max_work: int = 2048,
     interpret: bool = False,
@@ -586,20 +709,18 @@ def rasterize_pallas(
 ):
     """Returns (z (H, W), id (H, W) i32 [-1 = background], attrs (H, W, 8),
     inv_w (H, W)). H/W are padded to tile multiples then cropped."""
-    tri_data = packed.tri_data
-    batch_meta = packed.batch_meta
-    I, T, C = tri_data.shape
-    assert C == _R_TOTAL
+    tri_splits = packed.tri_splits
+    I, three, T, C = tri_splits.shape
+    assert three == 3 and C == _R_TOTAL
+    n_sub = tile // sub_h
     # scalar-prefetch operands live in SMEM (~1 MB total on v5e)
-    smem_bytes = (11 + T // tri_batch) * max_work * 4
+    smem_bytes = (9 + n_sub) * max_work * 4
     assert smem_bytes < 900_000, (
         f"work-list scalars need {smem_bytes}B of ~1MB SMEM; reduce "
-        f"max_work or increase tri_batch"
+        f"max_work or increase sub_h"
     )
-    n_batch = T // tri_batch
     pad_w = -(-width // tile) * tile
     pad_h = -(-height // tile) * tile
-    n_sub = tile // sub_h
     P = sub_h * tile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -607,7 +728,11 @@ def rasterize_pallas(
         grid=(max_work,),
         in_specs=[
             pl.BlockSpec(
-                (1, T, _R_TOTAL), lambda w, meta, sr: (meta[1, w], 0, 0)
+                (1, 3, T, _R_TOTAL),
+                lambda w, meta, sr: (meta[1, w], 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, _C_ROWS, T), lambda w, meta, sr: (meta[1, w], 0, 0)
             ),
         ],
         out_specs=[
@@ -627,6 +752,7 @@ def rasterize_pallas(
             pltpu.VMEM((n_sub, P), jnp.int32),
             pltpu.VMEM((n_sub, 32, P), jnp.float32),
             pltpu.VMEM((48, 4 * P), jnp.float32),
+            pltpu.VMEM((n_sub, T), jnp.float32),
         ],
     )
 
@@ -634,7 +760,7 @@ def rasterize_pallas(
         _raster_kernel,
         tile=tile,
         sub_h=sub_h,
-        tri_batch=tri_batch,
+        compact_k=compact_k,
         tris_per_inst=T,
         reverse_z=reverse_z,
         wire_px=wire_px,
@@ -648,7 +774,7 @@ def rasterize_pallas(
             jax.ShapeDtypeStruct((16, pad_h, pad_w), jnp.float32),
         ],
         interpret=interpret,
-    )(work.meta, work.sub_range, tri_data)
+    )(work.meta, work.sub_rounds, tri_splits, packed.tri_cols)
 
     z = z[:height, :width]
     idb = idb[:height, :width]

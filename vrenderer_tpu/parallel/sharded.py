@@ -137,16 +137,14 @@ def render_frames_sharded(
                 tris_per_inst=ts.tris_per_instance,
                 max_work=renderer.max_work,
                 order_key=dist,
-                batch_meta=packed.batch_meta,
+                packed=packed,
                 sub_h=cfg.raster.subtile_h,
-                tri_xspan=raster_pallas.tri_xspans(
-                    setup_b, ts.max_instances, ts.tris_per_instance
-                ),
+                compact_k=cfg.raster.compact_k,
             )
             z, prim_id, attrs, _ = raster_pallas.rasterize_pallas(
                 packed, work, cfg.width, band_h,
                 tile=cfg.raster.tile_w, sub_h=cfg.raster.subtile_h,
-                tri_batch=cfg.raster.tri_batch,
+                compact_k=cfg.raster.compact_k,
                 max_work=renderer.max_work,
                 reverse_z=cfg.raster.reverse_z, wire_px=wire_px,
                 interpret=renderer.interpret,

@@ -220,16 +220,14 @@ class Renderer:
                 tris_per_inst=ts.tris_per_instance,
                 max_work=self.max_work,
                 order_key=dist,
-                batch_meta=packed.batch_meta,
+                packed=packed,
                 sub_h=cfg.raster.subtile_h,
-                tri_xspan=raster_pallas.tri_xspans(
-                    setup, ts.max_instances + n_scene, ts.tris_per_instance
-                ),
+                compact_k=cfg.raster.compact_k,
             )
             z, prim_id, attrs, _ = raster_pallas.rasterize_pallas(
                 packed, work, cfg.width, cfg.height,
                 tile=cfg.raster.tile_w, sub_h=cfg.raster.subtile_h,
-                tri_batch=cfg.raster.tri_batch,
+                compact_k=cfg.raster.compact_k,
                 reverse_z=cfg.raster.reverse_z,
                 max_work=self.max_work,
                 interpret=self.interpret,
