@@ -115,6 +115,11 @@ class FrameConfig:
     z_far: float = 10000.0
     # Shadow map resolution (reference: Renderer.cpp:83, 2048, 1 cascade).
     shadow_resolution: int = 2048
+    # Shadow technique: "horizon" (TPU-native horizon march with mesh-top
+    # occluders + shadow-line receivers) or "map" (reference architecture:
+    # light-view depth raster + filtered comparison sampling at
+    # vertex-rate receivers; costs one extra raster + O(N*R^2) sampling).
+    shadow_mode: str = "horizon"
 
     @property
     def aspect(self) -> float:

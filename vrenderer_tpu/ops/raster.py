@@ -291,9 +291,14 @@ def rasterize_tile_z(
     if wire_px > 0.0:
         cover = cover & (jnp.min(ev, axis=1) <= wire_px)
     zv = affine(zplane)                                 # (B, P)
-    # near plane: hardware clips z < 0 (0 <= z <= w); required for the
-    # clipless crossing-triangle path, harmless for in-front triangles
-    cover = cover & (zv >= 0.0)
+    # depth clip: hardware clips 0 <= z <= w, i.e. z01 in [0, 1]. The
+    # near side is required for the clipless crossing-triangle path; the
+    # far side rejects degenerate slivers whose z plane blows up
+    # (tiny-determinant setups can pass the edge test at a stray pixel
+    # with a wild depth). Slack on the far side: distant horizon pixels
+    # sit at z01 ~ 0.9999 and the plane-eval rounding (~4e-3 rel on
+    # hardware) must not clip them; sliver garbage is at z >> 1.
+    cover = cover & (zv >= 0.0) & (zv <= 1.01)
     live = cover & (tri_id >= 0)[:, None]
     worst = -F32_FAR if reverse_z else F32_FAR
     zv = jnp.where(live, zv, worst)

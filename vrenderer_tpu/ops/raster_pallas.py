@@ -457,7 +457,8 @@ def _raster_kernel(
     z_scr,        # scratch (n_sub, sub_px) f32 — lane-major subtile depth
     id_scr,       # scratch (n_sub, sub_px) i32
     coef_acc,     # scratch (n_sub, 32, sub_px) f32
-    rhs_rel,      # scratch (48, 4 * sub_px) f32 — block-diag pixel matrix
+    rhs_rel,      # scratch (48, 4 * sub_px) bf16 — block-diag pixel matrix
+                  #   (half-integer pixel offsets < 2^8: bf16-exact)
     ranks,        # scratch (n_sub, T) f32 — masked compaction ranks
     *,
     tile: int,
@@ -502,7 +503,7 @@ def _raster_kernel(
         rhs_rel[:] = jnp.where(
             (rows < 12) & (r == 0), dx,
             jnp.where((rows < 12) & (r == 1), dy, jnp.float32(0.0)),
-        )
+        ).astype(jnp.bfloat16)
 
     @pl.when(first == 1)
     def _init_tile():
@@ -564,26 +565,38 @@ def _raster_kernel(
                 ).astype(jnp.float32) + (r * K).astype(jnp.float32)
                 oh = (rank_s == slot).astype(jnp.bfloat16)  # (K, T)
                 dims = (((1,), (0,)), ((), ()))
-                # ascending-term sum: lo, then mid, then hi. Each dot is
-                # a single exact bf16 MXU pass (the one-hot is 0/1).
-                blk = jax.lax.dot_general(
+                # compaction partials per split term: each dot is a single
+                # exact bf16 MXU pass (the one-hot is 0/1), so each partial
+                # equals the compacted bf16 term exactly.
+                p_lo = jax.lax.dot_general(
                     oh, splits_ref[0, 2], dims,
                     preferred_element_type=jnp.float32,
                 )
-                blk = blk + jax.lax.dot_general(
+                p_mid = jax.lax.dot_general(
                     oh, splits_ref[0, 1], dims,
                     preferred_element_type=jnp.float32,
                 )
-                blk = blk + jax.lax.dot_general(
+                p_hi = jax.lax.dot_general(
                     oh, splits_ref[0, 0], dims,
                     preferred_element_type=jnp.float32,
-                )                                     # (K, 48) f32
-                # all edge/z values at subtile-relative pixel positions:
-                # one MXU matmul for the group
+                )
+                # ascending-term sum: lo, then mid, then hi
+                blk = (p_lo + p_mid) + p_hi           # (K, 48) f32
+                # all edge/z values at subtile-relative pixel positions.
+                # The partials ARE an exact bf16-term decomposition of the
+                # coefficients and rhs_rel is bf16-exact (half-integer
+                # pixel offsets < 2^8), so three DEFAULT bf16 passes give
+                # f32-grade accuracy (probe: 1.2e-7 max rel err, same as
+                # HIGHEST on f32 inputs) at half the MXU cost.
                 erel = jax.lax.dot_general(
-                    blk, rhs_rel[:], dims,
+                    p_lo.astype(jnp.bfloat16), rhs_rel[:], dims,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                ) + jax.lax.dot_general(
+                    p_mid.astype(jnp.bfloat16), rhs_rel[:], dims,
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    p_hi.astype(jnp.bfloat16), rhs_rel[:], dims,
+                    preferred_element_type=jnp.float32,
                 )                                     # (K, 4P)
                 live = blk[:, _R_VALID:_R_VALID + 1] > 0.5
 
@@ -600,9 +613,13 @@ def _raster_kernel(
                 zq = erel[:, 3 * P:4 * P] + off(_R_Z)
 
                 edge_min = jnp.minimum(e0, jnp.minimum(e1, e2))
-                # zq >= 0 is the near plane (clipless crossing tris;
-                # see ops/raster.py setup docstring)
-                cover = (jnp.minimum(edge_min, zq) >= 0.0) & live
+                # 0 <= zq <= ~1 is the depth clip (near for clipless
+                # crossing tris, far-with-slack for degenerate slivers;
+                # matches ops/raster.py)
+                cover = (
+                    (jnp.minimum(edge_min, zq) >= 0.0)
+                    & (zq <= 1.01) & live
+                )
                 if wire_px > 0.0:
                     cover = cover & (edge_min <= wire_px)
                 zv = jnp.where(cover, zq, worst)
@@ -751,7 +768,7 @@ def rasterize_pallas(
             pltpu.VMEM((n_sub, P), jnp.float32),
             pltpu.VMEM((n_sub, P), jnp.int32),
             pltpu.VMEM((n_sub, 32, P), jnp.float32),
-            pltpu.VMEM((48, 4 * P), jnp.float32),
+            pltpu.VMEM((48, 4 * P), jnp.bfloat16),
             pltpu.VMEM((n_sub, T), jnp.float32),
         ],
     )

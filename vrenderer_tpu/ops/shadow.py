@@ -58,6 +58,8 @@ def horizon_shadow_field(
     num_steps: int = 24,
     softness_slope: float = 0.03,
     bias: float = 0.5,
+    occluder_h: jnp.ndarray | None = None,  # (H, W) world units
+    with_shadow_line: bool = False,
 ) -> jnp.ndarray:
     """Shadow factor field over the world, (H, W) in [0, 1] (1 = lit).
 
@@ -66,6 +68,18 @@ def horizon_shadow_field(
     tracking max((occluder_height - ray_height) / distance) — the excess
     slope over the sun ray. Lit where the excess is <= 0; a smooth ramp of
     width ``softness_slope`` emulates the reference's PCF penumbra.
+
+    ``occluder_h`` (world units) adds non-terrain occluders: the march
+    runs over max(terrain, occluder_h), so scene meshes rendered into a
+    top-down height field (``mesh_top_field``) cast onto terrain — the
+    role of the scene DepthPass in the reference's shadow phase
+    (Renderer.cpp:371-379).
+
+    ``with_shadow_line=True`` also returns the shadow-line height field
+    S(x, z) = max_t(occ(x + t*sun_xz) - t*sun_slope): the minimum world
+    height that is lit at each texel. Arbitrary receivers (mesh vertices)
+    test their own height against S (``shadow_line_factor``) — how scene
+    meshes RECEIVE terrain/mesh shadows without any per-pixel map lookup.
     """
     Ht, Wt = heightmap.shape
     sun = -jnp.asarray(light_direction, jnp.float32)
@@ -77,24 +91,145 @@ def horizon_shadow_field(
     dir_v = sun[2] / jnp.maximum(horiz, 1e-6)
 
     h_world = heightmap * max_height
+    occ_field = h_world
+    if occluder_h is not None:
+        occ_field = jnp.maximum(occ_field, occluder_h)
     texel = world_size / Wt
     t0 = texel
     t1 = world_size * 0.5
     ratio = (t1 / t0) ** (1.0 / (num_steps - 1))
 
     excess = jnp.full_like(heightmap, -1e9)
+    # NOT seeded with occ_field itself: a receiver sitting exactly on the
+    # surface must not count the surface as its own occluder (the march
+    # starts one texel out, matching the slope form)
+    sline = jnp.full_like(heightmap, -1e9)
     t = t0
     for _ in range(num_steps):
         du = dir_u * (t / world_size)
         dv = dir_v * (t / world_size)
-        occ = _shift2d(h_world, du, dv)
+        occ = _shift2d(occ_field, du, dv)
         excess = jnp.maximum(excess, (occ - (h_world + bias)) / t - sun_slope)
+        if with_shadow_line:
+            sline = jnp.maximum(sline, occ - t * sun_slope)
         t *= ratio
 
     lit = 1.0 - jnp.clip(excess / softness_slope + 1.0, 0.0, 1.0)
     # sun at/below the horizon: fully shadowed
-    lit = jnp.where(sun[1] <= 0.0, jnp.zeros_like(lit), lit)
+    below = sun[1] <= 0.0
+    lit = jnp.where(below, jnp.zeros_like(lit), lit)
+    if with_shadow_line:
+        sline = jnp.where(below, jnp.full_like(sline, 1e9), sline)
+        return lit, sline
     return lit
+
+
+def shadow_line_factor(
+    y: jnp.ndarray,        # receiver world heights (...)
+    sline: jnp.ndarray,    # shadow-line heights at the receiver xz (...)
+    softness_h: float = 2.0,
+    bias: float = 0.5,
+) -> jnp.ndarray:
+    """Shadow factor for receivers at height ``y`` against the shadow-line
+    field: lit where y clears S, with a ``softness_h``-meter penumbra ramp
+    (the height-space analog of horizon_shadow_field's slope ramp)."""
+    excess = sline - (y + bias)
+    return 1.0 - jnp.clip(excess / softness_h + 1.0, 0.0, 1.0)
+
+
+def mesh_top_field(
+    world: jnp.ndarray,     # (B, 3*tpb, 3) scene block vertices
+    valid: jnp.ndarray,     # (B,)
+    world_size: float,
+    resolution: int,
+) -> jnp.ndarray:
+    """Top-down max-height field of scene geometry, (res, res) world units
+    (-1e9 where empty), aligned with the heightmap's texel lattice
+    (world_to_uv mapping). Rendered with the XLA rasterizer from an
+    overhead ortho view — scene triangle counts are tiny (blocks of
+    padded meshes), so the dense sweep is microseconds on the VPU.
+
+    Reference analog: scene meshes drawn into the shadow map by
+    RenderCompositeView(DepthPass) (Renderer.cpp:371-379); here they
+    enter the horizon march as occluders instead.
+    """
+    from vrenderer_tpu.ops import raster
+    from vrenderer_tpu.utils import math3d
+
+    # overhead view looking straight down with up=(0,0,-1): pixel columns
+    # increase with +x, rows with +z, so pixel (row, col) = texel (v, u)
+    eye = jnp.asarray([0.0, 1e4, 0.0], jnp.float32)
+    target = jnp.zeros(3, jnp.float32)
+    up = jnp.asarray([0.0, 0.0, -1.0], jnp.float32)
+    w2v = math3d.look_at(eye, target, up)
+    # bounds chosen so PIXEL CENTERS land on world_to_uv's texel lattice
+    # (texel i at world i*texel - half, texel = world/(res-1))
+    texel = world_size / (resolution - 1)
+    ext = world_size * 0.5 + texel * 0.5
+    proj = math3d.ortho_proj_d3d_style(-ext, ext, -ext, ext, 1.0, 2e4)
+    wtc = math3d.view_proj(w2v, proj)
+    B = world.shape[0]
+    tpb = world.shape[1] // 3
+    attrs = jnp.zeros(world.shape[:2] + (1,), jnp.float32)
+    idx = jnp.arange(tpb * 3, dtype=jnp.int32).reshape(tpb, 3)
+    # oracle raster wants (8, 128)-tile-multiple dimensions; pad + crop
+    pw = -(-resolution // 128) * 128
+    ph = -(-resolution // 8) * 8
+    setup = raster.setup_triangles(
+        world, attrs, valid, idx, wtc, resolution, resolution,
+    )
+    z, prim, _ = raster.rasterize_xla(setup, pw, ph)
+    z = z[:resolution, :resolution]
+    prim = prim[:resolution, :resolution]
+    # ortho depth z in [0,1] maps linearly near->far from eye height
+    height = eye[1] - (1.0 + z * (2e4 - 1.0))
+    return jnp.where(prim >= 0, height, -1e9)
+
+
+def shadow_factors_from_map(
+    depth_map: jnp.ndarray,   # (R, R) light-view z01 (1 = empty/far)
+    wtc: jnp.ndarray,         # (4, 4) light world->clip (ortho)
+    z_range: float,           # light near..far extent in meters
+    points: jnp.ndarray,      # (N, 3) world receiver points
+    bias_m: float = 2.0,
+    pcf_px: float = 1.0,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Shadow factors by filtered comparison sampling of a light-view
+    depth map — the PCF step of the reference's DeferredLightingPass
+    (Renderer.cpp:417-428), restructured for TPU: receivers are
+    vertex-rate points (terrain texel surface points, mesh vertices),
+    each sampled with 4 offset taps via the gather-free matmul sampler
+    and compared in depth, then averaged. Returns (N,) in [0, 1].
+    """
+    from vrenderer_tpu.ops import texture
+
+    R = depth_map.shape[0]
+    N = points.shape[0]
+    pad = (-N) % chunk
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    bias01 = bias_m / z_range
+    taps = jnp.asarray(
+        [(-0.5, -0.5), (0.5, -0.5), (-0.5, 0.5), (0.5, 0.5)], jnp.float32
+    ) * pcf_px
+
+    def one_chunk(p):
+        clip = math3d.transform_points_h(wtc, p)      # ortho: w == 1
+        ndc = clip[:, :3]
+        # pixel coords (y-down) -> texel-lattice u01 for the sampler
+        px = (ndc[:, 0] + 1.0) * 0.5 * R - 0.5
+        py = (1.0 - ndc[:, 1]) * 0.5 * R - 0.5
+        d = ndc[:, 2]
+        acc = jnp.zeros(p.shape[0], jnp.float32)
+        for i in range(taps.shape[0]):
+            u01 = (px + taps[i, 0]) / (R - 1)
+            v01 = (py + taps[i, 1]) / (R - 1)
+            md = texture.sample_points_matmul(depth_map, u01, v01)
+            acc = acc + (md >= d - bias01).astype(jnp.float32)
+        return acc / taps.shape[0]
+
+    out = jax.lax.map(one_chunk, pts.reshape(-1, chunk, 3))
+    return out.reshape(-1)[:N]
 
 
 def light_view_matrices(

@@ -69,6 +69,30 @@ def sample_separable(
     return jnp.einsum("...vwc,...uw->...vuc", tmp, au, precision=precision)
 
 
+def sample_points_matmul(
+    tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Exact bilinear sample at arbitrary (u, v) points, gather-free.
+
+    Unlike ``sample_separable`` the points need not form a grid: per point
+    the row interpolation runs as a matmul (Av @ T) and the column
+    interpolation as a row-wise weighted reduce. Cost O(n * (H + W) * W)
+    MXU FLOPs — use for vertex-rate point sets (mesh vertices, world-grid
+    surface points), not per-pixel sets.
+
+    tex: (H, W) or (H, W, C); u, v: (n,). Returns (n,) or (n, C).
+    """
+    H, W = tex.shape[0], tex.shape[1]
+    av = interp_matrix(v, H)  # (n, H)
+    au = interp_matrix(u, W)  # (n, W)
+    if tex.ndim == 2:
+        tmp = jnp.matmul(av, tex, precision=precision)      # (n, W)
+        return jnp.sum(tmp * au, axis=-1)
+    tmp = jnp.einsum("nh,hwc->nwc", av, tex, precision=precision)
+    return jnp.sum(tmp * au[..., None], axis=1)
+
+
 def sample_points(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Exact bilinear sample at arbitrary (u, v) points via gather.
 

@@ -32,7 +32,9 @@ import jax.numpy as jnp
 
 from vrenderer_tpu.config import FrameConfig, LightParams
 from vrenderer_tpu.camera import Camera, make_view_constants
-from vrenderer_tpu.ops import lighting, raster, raster_pallas, shadow, vertex
+from vrenderer_tpu.ops import (
+    lighting, raster, raster_pallas, shadow, texture, vertex,
+)
 from vrenderer_tpu.terrain import grid as gridmod
 from vrenderer_tpu.terrain import quadtree
 from vrenderer_tpu.utils import math3d
@@ -151,9 +153,14 @@ class Renderer:
     # -- passes ------------------------------------------------------------
 
     def _terrain_pass(self, vc: Dict[str, jnp.ndarray], params: FrameParams,
-                      shadow_field: jnp.ndarray, instances=None):
+                      shadow_field: jnp.ndarray, instances=None,
+                      mesh_shadow_fn=None):
         """Select -> vertex -> setup -> rasterize. Returns raster products.
-        A precomputed instance set freezes selection (lock-view)."""
+        A precomputed instance set freezes selection (lock-view).
+        ``mesh_shadow_fn`` maps scene vertex positions (B, V, 3) to shadow
+        factors (B, V) — how scene meshes RECEIVE shadows (the reference
+        PCF-samples the shadow map for every G-buffer pixel including
+        mesh pixels, Renderer.cpp:417-428)."""
         cfg = self.config
         ts = cfg.terrain
         if instances is None:
@@ -174,8 +181,12 @@ class Renderer:
             # scene meshes ("GBuffer fill" geometry) ride the same raster
             # as extra instance blocks
             n_scene = self._scene_world.shape[0]
+            s_attrs = self._scene_attrs
+            if mesh_shadow_fn is not None:
+                shad = mesh_shadow_fn(self._scene_world)
+                s_attrs = s_attrs.at[..., vertex.ATTR_SHADOW].set(shad)
             s_setup = raster.setup_triangles(
-                self._scene_world, self._scene_attrs,
+                self._scene_world, s_attrs,
                 jnp.ones((n_scene,), bool), self._scene_tri_idx,
                 vc["world_to_clip"], cfg.width, cfg.height,
             )
@@ -279,15 +290,64 @@ class Renderer:
             cfg.z_near, cfg.z_far,
         )
 
-        # "Terrain Shadow": horizon-map shadow field over the world
-        shadow_field = shadow.horizon_shadow_field(
-            self.heightmap, params.max_height, float(cfg.terrain.world_size),
-            params.light_direction,
-        )
+        # "Terrain Shadow" phase: shadow field over the world + mesh
+        # receiver factors. Two modes (cfg.shadow_mode):
+        #   "horizon" (default, TPU-native): horizon march over
+        #     max(terrain, mesh-top) occluders; meshes receive via the
+        #     shadow-line field.
+        #   "map" (reference architecture, Renderer.cpp:333-428): Pallas
+        #     depth-only light-view raster of terrain+meshes, then
+        #     filtered comparison sampling (PCF analog) at vertex-rate
+        #     receiver points.
+        world_size = float(cfg.terrain.world_size)
+        mesh_shadow_fn = None
+        if cfg.shadow_mode == "map":
+            depth_map, wtc_l, z_range = self._light_depth_pass(
+                params, vc["camera_pos"]
+            )
+            hw = self.heightmap * params.max_height
+            Ht, Wt = self.heightmap.shape
+            gx = jnp.linspace(-world_size / 2, world_size / 2, Wt)
+            gz = jnp.linspace(-world_size / 2, world_size / 2, Ht)
+            X, Z = jnp.meshgrid(gx, gz, indexing="xy")
+            pts = jnp.stack([X, hw, Z], axis=-1).reshape(-1, 3)
+            shadow_field = shadow.shadow_factors_from_map(
+                depth_map, wtc_l, z_range, pts
+            ).reshape(Ht, Wt)
+            if self._scene_world is not None:
+                def mesh_shadow_fn(w):
+                    return shadow.shadow_factors_from_map(
+                        depth_map, wtc_l, z_range, w.reshape(-1, 3)
+                    ).reshape(w.shape[:2])
+        elif self._scene_world is not None:
+            mesh_top = shadow.mesh_top_field(
+                self._scene_world,
+                jnp.ones((self._scene_world.shape[0],), bool),
+                world_size, self.heightmap.shape[0],
+            )
+            shadow_field, sline = shadow.horizon_shadow_field(
+                self.heightmap, params.max_height, world_size,
+                params.light_direction, occluder_h=mesh_top,
+                with_shadow_line=True,
+            )
+
+            def mesh_shadow_fn(w):
+                u = texture.world_to_uv(w[..., 0], world_size)
+                v = texture.world_to_uv(w[..., 2], world_size)
+                s_at = texture.sample_points_matmul(
+                    sline, u.reshape(-1), v.reshape(-1)
+                ).reshape(w.shape[:2])
+                return shadow.shadow_line_factor(w[..., 1], s_at)
+        else:
+            shadow_field = shadow.horizon_shadow_field(
+                self.heightmap, params.max_height, world_size,
+                params.light_direction,
+            )
 
         # "Terrain": geometry + visibility + interpolated G-buffer attrs
         z, prim_id, attrs, instances, n_work = self._terrain_pass(
-            vc, params, shadow_field, lock_instances
+            vc, params, shadow_field, lock_instances,
+            mesh_shadow_fn=mesh_shadow_fn,
         )
         covered = (prim_id >= 0) & (params.render_terrain > 0.5)
 
@@ -417,38 +477,101 @@ class Renderer:
         if hasattr(self, "_frame_locked_jit"):
             del self._frame_locked_jit
 
-    # -- shadow-map parity pass (reference "Terrain Shadow" counter) -------
+    # -- shadow-map fill pass (reference "Terrain Shadow" counter) ---------
 
-    def render_shadow_depth(self, params: Optional[FrameParams] = None
-                            ) -> jnp.ndarray:
-        """Depth-only terrain raster from the sun's ortho view — the
-        reference's shadow-map fill pass (Renderer.cpp:354-367), provided
-        for capability parity; the default lighting path uses the
-        horizon-map field instead (see ops/shadow.py)."""
+    def _light_depth_pass(self, params: FrameParams,
+                          camera_pos: Optional[jnp.ndarray] = None):
+        """Depth-only raster of terrain + scene meshes from the sun's
+        ortho view on the Pallas kernel — the reference's shadow phase
+        (TerrainPass depth-only, Renderer.cpp:354-367, plus the scene
+        DepthPass, :371-379). Jittable; used by shadow_mode="map" and
+        render_shadow_depth. Returns (depth (R, R) z01, world->clip,
+        z_range meters).
+
+        LOD selection runs from the MAIN camera position when given, so
+        shadow geometry matches view geometry (avoids LOD-mismatch acne);
+        the light frustum still culls. The reference selects from the
+        shadow view's own (distant) eye, which collapses everything to
+        the coarsest LOD — strictly worse, so this deviation is kept.
+        """
         cfg = self.config
-        if params is None:
-            params = FrameParams.default(self.light)
-        res = cfg.shadow_resolution
-        wtc = shadow.light_view_matrices(
-            params.light_direction, float(cfg.terrain.world_size),
-            params.max_height, res,
-        )
         ts = cfg.terrain
+        res = cfg.shadow_resolution
+        world_size = float(ts.world_size)
+        wtc = shadow.light_view_matrices(
+            params.light_direction, world_size, params.max_height, res,
+        )
+        z_range = world_size * 3.0 - 0.1
         planes = math3d.frustum_planes(wtc)
-        # lockView-free selection from the light's position analog: use the
-        # world center at max height as the "camera" for LOD purposes
-        cam_pos = jnp.array([0.0, 1.0, 0.0], jnp.float32) * params.max_height
+        if camera_pos is None:
+            camera_pos = jnp.array([0.0, 1.0, 0.0], jnp.float32) \
+                * params.max_height
         instances = quadtree.select_all_surfaces(
-            ts, cam_pos, planes, ts.lod_ranges()
+            ts, camera_pos, planes, ts.lod_ranges()
         )
         shadow_field = jnp.ones_like(self.heightmap)
         vout = vertex.vertex_stage(
-            ts, instances, cam_pos, self.heightmap, self.albedo,
+            ts, instances, camera_pos, self.heightmap, self.albedo,
             shadow_field, params.max_height, ts.lod_ranges(),
         )
         setup = raster.setup_triangles(
             vout.world, vout.attrs, instances.valid, self.tri_indices,
             wtc, res, res,
         )
-        z, _, _ = raster.rasterize_xla(setup, res, res)
-        return z
+        world_pts = vout.world
+        n_scene = 0
+        if self._scene_world is not None:
+            n_scene = self._scene_world.shape[0]
+            s_setup = raster.setup_triangles(
+                self._scene_world, self._scene_attrs,
+                jnp.ones((n_scene,), bool), self._scene_tri_idx,
+                wtc, res, res,
+            )
+            setup = raster.TriSetup(
+                edge=jnp.concatenate([setup.edge, s_setup.edge]),
+                planes=jnp.concatenate([setup.planes, s_setup.planes]),
+                bbox=jnp.concatenate([setup.bbox, s_setup.bbox]),
+                valid=jnp.concatenate([setup.valid, s_setup.valid]),
+            )
+        if self.raster_backend == "xla":
+            z, _, _ = raster.rasterize_xla(setup, res, res)
+            return z, wtc, z_range
+        packed = raster_pallas.pack_tri_data(
+            setup, ts.max_instances + n_scene, ts.tris_per_instance,
+            tri_batch=cfg.raster.tri_batch,
+        )
+        bbox, usable, dist = raster_pallas.instance_screen_bbox(
+            world_pts, wtc, res, res, instances.valid,
+        )
+        if n_scene:
+            s_bbox, s_usable, s_dist = raster_pallas.instance_screen_bbox(
+                self._scene_world, wtc, res, res,
+                jnp.ones((n_scene,), bool),
+            )
+            bbox = jnp.concatenate([bbox, s_bbox])
+            usable = jnp.concatenate([usable, s_usable])
+            dist = jnp.concatenate([dist, s_dist])
+        work = raster_pallas.build_work_list(
+            bbox, usable, res, res, tile=cfg.raster.tile_w,
+            tris_per_inst=ts.tris_per_instance, max_work=self.max_work,
+            order_key=dist, packed=packed, sub_h=cfg.raster.subtile_h,
+            compact_k=cfg.raster.compact_k,
+        )
+        z, _, _, _ = raster_pallas.rasterize_pallas(
+            packed, work, res, res, tile=cfg.raster.tile_w,
+            sub_h=cfg.raster.subtile_h, compact_k=cfg.raster.compact_k,
+            max_work=self.max_work, interpret=self.interpret,
+        )
+        return z, wtc, z_range
+
+    def render_shadow_depth(self, params: Optional[FrameParams] = None
+                            ) -> jnp.ndarray:
+        """Light-view depth map (z01), jit-compiled. Reference:
+        Renderer.cpp:333-380 shadow phase."""
+        if params is None:
+            params = FrameParams.default(self.light)
+        if not hasattr(self, "_light_depth_jit"):
+            self._light_depth_jit = jax.jit(
+                lambda p: self._light_depth_pass(p)[0]
+            )
+        return self._light_depth_jit(params)
