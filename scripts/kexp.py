@@ -115,7 +115,7 @@ def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
             0, n, body, (s, jnp.float32(0.0)))[1])
 
     f4, f12 = chain(4), chain(12)
-    sp = packed.tri_splits
+    sp = packed.tri_data
     float(f4(sp)); float(f12(sp))  # compile
     t4 = min(_t(lambda: float(f4(sp))) for _ in range(3))
     t12 = min(_t(lambda: float(f12(sp))) for _ in range(3))

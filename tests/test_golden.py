@@ -45,7 +45,7 @@ def test_golden_frame():
     assert diff.mean() < 5e-4
 
     cov = np.asarray(out.prim_id) >= 0
-    np.testing.assert_allclose(cov.mean(), 0.552887, atol=0.002)
+    np.testing.assert_allclose(cov.mean(), 0.552856, atol=0.002)
     prim = np.asarray(out.prim_id)
     assert prim[64, 128] == 2144
     assert prim[100, 200] == 3589

@@ -26,9 +26,9 @@ def _packed_from_bboxes(I, T, tri_bbox, tri_valid, tri_batch=128):
     bm[..., 2] = np.where(v, bb[..., 2], -big).max(-1)
     bm[..., 3] = np.where(v, bb[..., 3], -big).max(-1)
     bm[..., 4] = 0.5  # flat zmin
-    splits = np.zeros((I, 3, T, raster_pallas._R_TOTAL), np.float32)
+    data = np.zeros((I, raster_pallas._R_TOTAL, T), np.float32)
     return raster_pallas.PackedTris(
-        tri_splits=jnp.asarray(splits, jnp.bfloat16),
+        tri_data=jnp.asarray(data),
         tri_cols=jnp.asarray(cols),
         batch_meta=jnp.asarray(bm),
     )

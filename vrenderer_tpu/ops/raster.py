@@ -96,7 +96,6 @@ def setup_triangles(
     vattr = attrs.reshape(I, -1, A)
 
     clip = math3d.transform_points_h(world_to_clip, verts)  # (I, V, 4)
-    xy, z_ndc, inv_w = math3d.clip_to_screen(clip, width, height)
 
     # Per-triangle vertex pulls. For the terrain lattice layout this is
     # done with pure shifted SLICES of the (S, S) grid (a jnp.take here is
@@ -132,108 +131,122 @@ def setup_triangles(
                 (I, tri_indices.shape[0], 3) + x.shape[2:]
             )
 
-    pxy = tri_take(xy)          # (I, T, 3, 2)
-    pz = tri_take(z_ndc)        # (I, T, 3)
-    piw = tri_take(inv_w)       # (I, T, 3)
-    pw = tri_take(clip[..., 3])  # (I, T, 3)
     pa = tri_take(vattr)        # (I, T, 3, A)
 
-    x0, y0 = pxy[..., 0, 0], pxy[..., 0, 1]
-    x1, y1 = pxy[..., 1, 0], pxy[..., 1, 1]
-    x2, y2 = pxy[..., 2, 0], pxy[..., 2, 1]
-
-    # signed area*2 in y-down pixel space. The reference mesh order
-    # (bl, tl, tr / bl, tr, br; TerrainPass.cpp:79-85) lands
-    # counter-clockwise here under the shared view conventions, and the
-    # reference renders it front-facing with back culling
-    # (TerrainPass.cpp:211,474-476) — so front faces are area2 < 0.
-    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    front = area2 < -1e-12
-
-    # edges: E_i opposite vertex i; negated so inside = all E >= 0 for
-    # front (negative-area) faces
-    def edge(ax, ay, bx, by):
-        # -area2 * lambda_i for edge a->b (opposite vertex i)
-        return jnp.stack([by - ay, ax - bx, bx * ay - by * ax], axis=-1)
-
-    e0 = edge(x1, y1, x2, y2)
-    e1 = edge(x2, y2, x0, y0)
-    e2 = edge(x0, y0, x1, y1)
-    edges = jnp.stack([e0, e1, e2], axis=-2)  # (I, T, 3, 3)
-
-    # lambda_i = E_i / (-area2); the negations cancel in the plane math
-    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, -area2, 1.0)
-
-    # interpolation planes from barycentric identity:
-    # q(x,y) = sum_i q_i * E_i(x,y) * inv_area  -> affine in (x, y)
-    def plane(q):  # q: (I, T, 3) values at vertices
-        coef = jnp.einsum("...i,...ij->...j", q * inv_area[..., None], edges)
-        return coef  # (I, T, 3) = (a, b, c)
-
-    quantities = [pz, piw] + [pa[..., i] * piw for i in range(A)]
-    planes = jnp.stack([plane(q) for q in quantities], axis=-2)  # (I,T,C,3)
-
-    # pixel-space bbox, clamped to the viewport
-    xs = pxy[..., 0]
-    ys = pxy[..., 1]
-    bx0 = jnp.clip(jnp.floor(jnp.min(xs, axis=-1)), 0, width - 1)
-    by0 = jnp.clip(jnp.floor(jnp.min(ys, axis=-1)), 0, height - 1)
-    bx1 = jnp.clip(jnp.ceil(jnp.max(xs, axis=-1)), 0, width - 1)
-    by1 = jnp.clip(jnp.ceil(jnp.max(ys, axis=-1)), 0, height - 1)
-    bbox = jnp.stack([bx0, by0, bx1, by1], axis=-1)
-
-    on_screen = (bx1 >= bx0) & (by1 >= by0)
-    w_ok = jnp.all(pw > w_eps, axis=-1)
-    valid = front & w_ok & on_screen & inst_valid[:, None]
-
-    # --- clipless near-plane path for w-crossing triangles ---------------
-    # Homogeneous 2D formulation: with M rows (sx*w, sy*w, w) per vertex
-    # (linear in clip coords, defined for any w), every screen-affine
+    # --- unified homogeneous 2D setup (clipless) -------------------------
+    # With M rows (sx*w, sy*w, w) per vertex (linear in clip coords,
+    # defined for ANY w, including behind the camera), every screen-affine
     # quantity q solves M @ coef = (q*w at verts), i.e. coef =
     # adj(M) @ v / det(M). Unnormalized barycentric planes are the
     # adjugate columns u_i = cross(vert_{i+1}, vert_{i+2}); inside the
     # VISIBLE (w > 0) part of the triangle, u_i/det >= 0 for all i, and
     # front facing is det < 0 under this module's orientation (for
-    # in-front triangles det = w0*w1*w2 * area2, matching area2 < 0).
-    pc = tri_take(clip)                           # (I, T, 3, 4)
-    Xh = (pc[..., 0] + pc[..., 3]) * (0.5 * width)
-    Yh = (pc[..., 3] - pc[..., 1]) * (0.5 * height)
-    Vh = jnp.stack([Xh, Yh, pc[..., 3]], axis=-1)  # (I, T, 3, 3)
-    u0 = jnp.cross(Vh[..., 1, :], Vh[..., 2, :])
-    u1 = jnp.cross(Vh[..., 2, :], Vh[..., 0, :])
-    u2 = jnp.cross(Vh[..., 0, :], Vh[..., 1, :])
-    det = jnp.sum(Vh[..., 0, :] * u0, axis=-1)     # (I, T)
-    h_edges = -jnp.stack([u0, u1, u2], axis=-2)    # inside = all >= 0
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    # in-front triangles det = w0*w1*w2 * area2 with area2 the y-down
+    # signed pixel area — the reference mesh order lands CCW and is
+    # drawn front-facing with back culling, TerrainPass.cpp:211,474-476,
+    # so front = negative area = negative det). For in-front triangles
+    # this formulation is algebraically identical to classic screen-space
+    # barycentric setup; using it for every triangle halves the setup
+    # tensor work (one path instead of standard + crossing).
+    # COMPONENT FORM, not stacked (..., 3, 3) tensors: every array below
+    # is (I, T) with the triangle axis on lanes. Stacked tiny-trailing-dim
+    # tensors (cross products on (..., 3)) put 3x3 elements in a padded
+    # (8, 128) TPU tile — measured 5x the whole-stage cost.
+    pc = tri_take(clip)                           # (I, T, 3v, 4)
+    w0, w1, w2 = pc[..., 0, 3], pc[..., 1, 3], pc[..., 2, 3]
 
-    def h_plane(v):  # v: q*w values at verts (zc for z_ndc, 1 for 1/w, a)
+    def vh(k):  # homogeneous screen row for vertex k: (Xh, Yh, w)
         return (
-            u0 * v[..., 0:1] + u1 * v[..., 1:2] + u2 * v[..., 2:3]
-        ) * inv_det[..., None]
+            (pc[..., k, 0] + pc[..., k, 3]) * (0.5 * width),
+            (pc[..., k, 3] - pc[..., k, 1]) * (0.5 * height),
+            pc[..., k, 3],
+        )
 
-    h_quants = [pc[..., 2], jnp.ones_like(pw)] + [
-        pa[..., i] for i in range(A)
-    ]
-    h_planes = jnp.stack([h_plane(q) for q in h_quants], axis=-2)
+    a0, b0, c0 = vh(0)
+    a1, b1, c1 = vh(1)
+    a2, b2, c2 = vh(2)
 
+    def cross3(ax, ay, az, bx, by, bz):
+        return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+    u0 = cross3(a1, b1, c1, a2, b2, c2)
+    u1 = cross3(a2, b2, c2, a0, b0, c0)
+    u2 = cross3(a0, b0, c0, a1, b1, c1)
+    det = a0 * u0[0] + b0 * u0[1] + c0 * u0[2]     # (I, T)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    front = det < 0.0
+    # edges negated so inside = all >= 0
+    edges = jnp.stack(
+        [-u0[0], -u0[1], -u0[2], -u1[0], -u1[1], -u1[2],
+         -u2[0], -u2[1], -u2[2]],
+        axis=-1,
+    ).reshape(I, -1, 3, 3)                         # (I, T, 3e, 3c)
+
+    # planes for [z_ndc, 1/w, attr/w]: q*w vertex values are
+    # (z_clip, 1, attr); coef_j = sum_v u_v[j] * q_v * inv_det
+    def plane(q0, q1, q2):  # three (I, T) vertex values -> 3 coef arrays
+        return (
+            (u0[0] * q0 + u1[0] * q1 + u2[0] * q2) * inv_det,
+            (u0[1] * q0 + u1[1] * q1 + u2[1] * q2) * inv_det,
+            (u0[2] * q0 + u1[2] * q1 + u2[2] * q2) * inv_det,
+        )
+
+    ones = jnp.ones_like(w0)
+    coef_list = list(plane(pc[..., 0, 2], pc[..., 1, 2], pc[..., 2, 2]))
+    coef_list += list(plane(ones, ones, ones))
+    for i in range(A):
+        coef_list += list(plane(pa[..., 0, i], pa[..., 1, i], pa[..., 2, i]))
+    planes = jnp.stack(coef_list, axis=-1).reshape(I, -1, A + 2, 3)
+
+    # pixel bbox over IN-FRONT vertices (xy = (Xh/w, Yh/w) exactly equals
+    # the viewport transform); crossing triangles get the full frame (the
+    # w->0 locus projects to infinity)
+    pw = jnp.stack([w0, w1, w2], axis=-1)          # (I, T, 3)
     behind = pw <= w_eps
     crossing = jnp.any(behind, axis=-1) & jnp.any(~behind, axis=-1)
-    h_front = det < 0.0
+    w_ok = jnp.all(~behind, axis=-1)
+    safe_w = jnp.where(behind, 1.0, pw)
+    xs = jnp.stack([a0, a1, a2], axis=-1) / safe_w
+    ys = jnp.stack([b0, b1, b2], axis=-1) / safe_w
+    # one pixel of padding: the bbox comes from per-vertex division while
+    # coverage comes from the homogeneous edge functions, whose rounding
+    # can differ by ~1e-4 px at the silhouette — the bbox must stay
+    # conservative for the kernel's binning masks
+    bx0 = jnp.clip(jnp.floor(jnp.min(xs, axis=-1)) - 1, 0, width - 1)
+    by0 = jnp.clip(jnp.floor(jnp.min(ys, axis=-1)) - 1, 0, height - 1)
+    bx1 = jnp.clip(jnp.ceil(jnp.max(xs, axis=-1)) + 1, 0, width - 1)
+    by1 = jnp.clip(jnp.ceil(jnp.max(ys, axis=-1)) + 1, 0, height - 1)
     full_bbox = jnp.asarray(
         [0.0, 0.0, width - 1.0, height - 1.0], jnp.float32
     )
-    h_ok = (
-        crossing & h_front & inst_valid[:, None]
-        & jnp.all(jnp.isfinite(h_planes), axis=(-2, -1))
-        & jnp.all(jnp.isfinite(h_edges), axis=(-2, -1))
+    bbox = jnp.where(
+        crossing[..., None],
+        full_bbox,
+        jnp.stack([bx0, by0, bx1, by1], axis=-1),
     )
+    on_screen = (bx1 >= bx0) & (by1 >= by0)
 
-    edges = jnp.where(crossing[..., None, None], h_edges, edges)
-    planes = jnp.where(crossing[..., None, None], h_planes, planes)
-    # the visible part of a crossing triangle can span the whole screen
-    # (its w->0 locus projects to infinity): conservative full-frame bbox
-    bbox = jnp.where(crossing[..., None], full_bbox, bbox)
-    valid = jnp.where(crossing, h_ok, valid)
+    # degeneracy guard: morph-collapsed lattice triangles have det ~ -eps
+    # (det = w0*w1*w2*area2 shrinks with pixel area); a bare det < 0 lets
+    # them through as half-plane-covering garbage after edge
+    # normalization. For in-front triangles use the exact pixel-space
+    # area test (y-down CCW front => area2 < -1e-12, the pre-homogeneous
+    # behavior); crossing triangles keep the det sign (their pixel area
+    # is undefined).
+    x0p, y0p = xs[..., 0], ys[..., 0]
+    x1p, y1p = xs[..., 1], ys[..., 1]
+    x2p, y2p = xs[..., 2], ys[..., 2]
+    area2 = (x1p - x0p) * (y2p - y0p) - (x2p - x0p) * (y1p - y0p)
+    front = jnp.where(crossing, front, area2 < -1e-12)
+
+    finite = (
+        jnp.all(jnp.isfinite(planes), axis=(-2, -1))
+        & jnp.all(jnp.isfinite(edges), axis=(-2, -1))
+    )
+    valid = (
+        front & finite & inst_valid[:, None]
+        & (crossing | (w_ok & on_screen))
+    )
 
     # normalize each edge by its gradient magnitude: E becomes the signed
     # pixel distance to the edge (sign/coverage unchanged; enables the
@@ -272,6 +285,7 @@ def rasterize_tile_z(
     id_init: jnp.ndarray,  # (P,)
     reverse_z: bool = False,
     wire_px: float = 0.0,  # > 0: wireframe fill mode, line half-width
+    bbox: jnp.ndarray | None = None,  # (B, 4) per-tri scissor (incl. px idx)
 ):
     """Merge one triangle batch into a tile's (z, id) buffers.
 
@@ -299,6 +313,17 @@ def rasterize_tile_z(
     # sit at z01 ~ 0.9999 and the plane-eval rounding (~4e-3 rel on
     # hardware) must not clip them; sliver garbage is at z >> 1.
     cover = cover & (zv >= 0.0) & (zv <= 1.01)
+    if bbox is not None:
+        # per-triangle scissor: near-parallel sliver edges can round to
+        # >= 0 at pixels far outside the triangle (both here and in the
+        # kernel); the bbox bounds coverage exactly. Pixel index i covers
+        # iff bx0 <= i <= bx1, with centers at i + 0.5.
+        cover = cover & (
+            (pix[0][None] >= bbox[:, 0:1] + 0.5)
+            & (pix[0][None] <= bbox[:, 2:3] + 0.5)
+            & (pix[1][None] >= bbox[:, 1:2] + 0.5)
+            & (pix[1][None] <= bbox[:, 3:4] + 0.5)
+        )
     live = cover & (tri_id >= 0)[:, None]
     worst = -F32_FAR if reverse_z else F32_FAR
     zv = jnp.where(live, zv, worst)
@@ -367,6 +392,7 @@ def rasterize_xla(
 
     edge = pad0(setup.edge).reshape(nb, batch, 3, 3)
     planes = pad0(setup.planes).reshape(nb, batch, -1, 3)
+    bboxes = pad0(setup.bbox).reshape(nb, batch, 4)
     ids = jnp.where(setup.valid, jnp.arange(n, dtype=jnp.int32), -1)
     ids = jnp.pad(ids, (0, pad), constant_values=-1).reshape(nb, batch)
 
@@ -387,7 +413,7 @@ def rasterize_xla(
             z, i = carry
             return rasterize_tile_z(
                 edge[b], planes[b, :, 0, :], ids[b], pix, z, i, reverse_z,
-                wire_px,
+                wire_px, bboxes[b],
             )
 
         z, idb = jax.lax.fori_loop(0, nb, zbody, (z0, i0))

@@ -79,6 +79,9 @@ _R_VALID = 39        # 1
 _R_ID = 40           # 2: local tri index t split as ((t//256)*256, t%256)
                      #    (each term bf16-exact so id survives the one-hot
                      #    matmuls without rounding)
+_R_BBOX = 42         # 4: per-tri pixel bbox (x0, y0, x1, y1) — the
+                     #    coverage scissor (near-parallel sliver edges can
+                     #    round to >= 0 far outside the triangle)
 _R_TOTAL = 48
 
 # tri_cols rows (the [I, 8, T] lane-major layout the kernel builds subtile
@@ -96,7 +99,17 @@ _BIG_ID = 2**31 - 1
 
 
 class PackedTris(NamedTuple):
-    tri_splits: jnp.ndarray   # (I, 3, T, 48) bf16 — hi/mid/lo split terms
+    tri_data: jnp.ndarray     # (I, 48, T) f32 — packed rows (see _R_*),
+                              #   COMPONENT-MAJOR (T on lanes): every
+                              #   producer in triangle setup is an (I, T)
+                              #   component array, so this layout writes
+                              #   linearly; a (T, 48) row-major layout
+                              #   forces a lane-misaligned transpose at
+                              #   the pallas boundary measured at ~30 ms
+                              #   per 1080p frame. The kernel's compaction
+                              #   dots consume it NT (contract on lanes).
+                              #   bf16 term-split happens IN-KERNEL
+                              #   (host-side splitting costs ~5 GB/frame).
     tri_cols: jnp.ndarray     # (I, 8, T) f32 — bbox/valid, lane-major
     batch_meta: jnp.ndarray   # (I, n_batch, 8) f32
 
@@ -154,18 +167,20 @@ def pack_tri_data(
     )
     id_hi = ((t_local // 256) * 256).astype(jnp.float32)[:, None]
     id_lo = (t_local % 256).astype(jnp.float32)[:, None]
-    pad = jnp.zeros((n, _R_TOTAL - 42), jnp.float32)
-    packed = jnp.concatenate(
-        [edge, z, coef, valid, id_hi, id_lo, pad], axis=1
-    )
-    hi, mid, lo = _split3_bf16(packed)
-    tri_splits = jnp.stack(
+    bbox4 = jnp.where(ok, setup.bbox, 0.0)
+    pad = jnp.zeros((n, _R_TOTAL - _R_BBOX - 4), jnp.float32)
+    flat = jnp.concatenate(
+        [edge, z, coef, valid, id_hi, id_lo, bbox4, pad], axis=1
+    )  # (n, 48)
+    # component-major: stack the 48 channels as (I, 48, T) so each channel
+    # writes as a contiguous (I, T) map (see PackedTris docstring)
+    tri_data = jnp.stack(
         [
-            t.reshape(num_instances, tris_per_inst, _R_TOTAL)
-            for t in (hi, mid, lo)
+            flat[:, j].reshape(num_instances, tris_per_inst)
+            for j in range(_R_TOTAL)
         ],
         axis=1,
-    )  # (I, 3, T, 48)
+    )
 
     # lane-major bbox/valid columns for in-kernel subtile masks
     bbox = jnp.where(
@@ -213,7 +228,7 @@ def pack_tri_data(
         [bx0, by0, bx1, by1, bzmin, bzmax, zero_b, zero_b], axis=-1
     )
     return PackedTris(
-        tri_splits=tri_splits, tri_cols=tri_cols, batch_meta=batch_meta
+        tri_data=tri_data, tri_cols=tri_cols, batch_meta=batch_meta
     )
 
 
@@ -449,7 +464,8 @@ def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
 def _raster_kernel(
     meta_ref,     # scalar prefetch (9, MAX_WORK) int32
     subr_ref,     # scalar prefetch (n_sub, MAX_WORK) int32
-    splits_ref,   # (1, 3, T, 48) bf16 — one instance's split tri data
+    data_ref,     # (1, 48, T) f32 — one instance's packed tri data,
+                  #   component-major (T on lanes)
     cols_ref,     # (1, 8, T) f32 — bbox/valid columns, lane-major
     z_ref,        # (TILE, TILE) out
     id_ref,       # (TILE, TILE) int32 out
@@ -532,7 +548,12 @@ def _raster_kernel(
 
     @pl.when(run_item)
     def _run_item():
-        # per-item prep: subtile incidence masks -> compaction ranks.
+        # per-item prep: the 3-term bf16 split of the instance's tri data
+        # (hoisting this host-side costs ~5 GB/frame of HBM traffic and
+        # 50% more DMA per item; here it is a few VPU passes over VMEM)
+        d_hi, d_mid, d_lo = _split3_bf16(data_ref[0])  # (48, T) bf16
+
+        # subtile incidence masks -> compaction ranks.
         # tri bbox/valid live lane-major in cols_ref so the (n_sub, T)
         # masks, prefix sums, and (K, T) one-hots never transpose.
         cb = cols_ref[0]                              # (8, T)
@@ -564,20 +585,23 @@ def _raster_kernel(
                     jnp.int32, (K, T), 0
                 ).astype(jnp.float32) + (r * K).astype(jnp.float32)
                 oh = (rank_s == slot).astype(jnp.bfloat16)  # (K, T)
+                # NT contraction (both operands contract on lanes): the
+                # component-major (48, T) layout needs no transpose
+                ntdims = (((1,), (1,)), ((), ()))
                 dims = (((1,), (0,)), ((), ()))
                 # compaction partials per split term: each dot is a single
                 # exact bf16 MXU pass (the one-hot is 0/1), so each partial
                 # equals the compacted bf16 term exactly.
                 p_lo = jax.lax.dot_general(
-                    oh, splits_ref[0, 2], dims,
+                    oh, d_lo, ntdims,
                     preferred_element_type=jnp.float32,
                 )
                 p_mid = jax.lax.dot_general(
-                    oh, splits_ref[0, 1], dims,
+                    oh, d_mid, ntdims,
                     preferred_element_type=jnp.float32,
                 )
                 p_hi = jax.lax.dot_general(
-                    oh, splits_ref[0, 0], dims,
+                    oh, d_hi, ntdims,
                     preferred_element_type=jnp.float32,
                 )
                 # ascending-term sum: lo, then mid, then hi
@@ -615,10 +639,20 @@ def _raster_kernel(
                 edge_min = jnp.minimum(e0, jnp.minimum(e1, e2))
                 # 0 <= zq <= ~1 is the depth clip (near for clipless
                 # crossing tris, far-with-slack for degenerate slivers;
-                # matches ops/raster.py)
+                # matches ops/raster.py), plus the per-tri bbox scissor
+                # (pixel index i covers iff bx0 <= i <= bx1)
+                pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+                pxi = (pcol % tile).astype(jnp.float32) + x0f
+                pyi = (pcol // tile).astype(jnp.float32) + sy0
+                in_bb = (
+                    (pxi >= blk[:, _R_BBOX:_R_BBOX + 1])
+                    & (pxi <= blk[:, _R_BBOX + 2:_R_BBOX + 3])
+                    & (pyi >= blk[:, _R_BBOX + 1:_R_BBOX + 2])
+                    & (pyi <= blk[:, _R_BBOX + 3:_R_BBOX + 4])
+                )
                 cover = (
                     (jnp.minimum(edge_min, zq) >= 0.0)
-                    & (zq <= 1.01) & live
+                    & (zq <= 1.01) & live & in_bb
                 )
                 if wire_px > 0.0:
                     cover = cover & (edge_min <= wire_px)
@@ -726,9 +760,9 @@ def rasterize_pallas(
 ):
     """Returns (z (H, W), id (H, W) i32 [-1 = background], attrs (H, W, 8),
     inv_w (H, W)). H/W are padded to tile multiples then cropped."""
-    tri_splits = packed.tri_splits
-    I, three, T, C = tri_splits.shape
-    assert three == 3 and C == _R_TOTAL
+    tri_data = packed.tri_data
+    I, C, T = tri_data.shape
+    assert C == _R_TOTAL
     n_sub = tile // sub_h
     # scalar-prefetch operands live in SMEM (~1 MB total on v5e)
     smem_bytes = (9 + n_sub) * max_work * 4
@@ -745,8 +779,8 @@ def rasterize_pallas(
         grid=(max_work,),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, T, _R_TOTAL),
-                lambda w, meta, sr: (meta[1, w], 0, 0, 0),
+                (1, _R_TOTAL, T),
+                lambda w, meta, sr: (meta[1, w], 0, 0),
             ),
             pl.BlockSpec(
                 (1, _C_ROWS, T), lambda w, meta, sr: (meta[1, w], 0, 0)
@@ -791,7 +825,7 @@ def rasterize_pallas(
             jax.ShapeDtypeStruct((16, pad_h, pad_w), jnp.float32),
         ],
         interpret=interpret,
-    )(work.meta, work.sub_rounds, tri_splits, packed.tri_cols)
+    )(work.meta, work.sub_rounds, tri_data, packed.tri_cols)
 
     z = z[:height, :width]
     idb = idb[:height, :width]
