@@ -109,8 +109,9 @@ def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
         def body(i, carry):
             splits, acc = carry
             z = call(splits)
-            s = (z[0, 0] * 1e-30).astype(jnp.bfloat16)
-            return (splits + s, acc + z.mean())
+            zc = jnp.clip(z, 0.0, 2.0)
+            s = (zc[0, 0] * 1e-30).astype(splits.dtype)
+            return (splits + s, acc + zc.mean())
         return jax.jit(lambda s: jax.lax.fori_loop(
             0, n, body, (s, jnp.float32(0.0)))[1])
 

@@ -79,9 +79,10 @@ class RasterSettings:
     # z/id/attribute tile while instances binned to it are rasterized.
     tile_h: int = 128
     tile_w: int = 128
-    # Fine evaluation window inside a supertile: (8, 128) is the native
-    # f32 VPU tile. Triangle batches are tested against these subtiles.
-    subtile_h: int = 8
+    # Fine evaluation window inside a supertile. 16 rows measured fastest
+    # at 1080p on v5e (vs 8: fewer active (item, subtile) pairs and
+    # compaction rounds more than offset the 2x per-round pixel sweep).
+    subtile_h: int = 16
     # Batch granularity for the host-side conservative z-range metadata
     # (feeds item-level early-z bounds in the work-list builder).
     tri_batch: int = 32

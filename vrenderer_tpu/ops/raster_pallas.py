@@ -473,8 +473,6 @@ def _raster_kernel(
     z_scr,        # scratch (n_sub, sub_px) f32 — lane-major subtile depth
     id_scr,       # scratch (n_sub, sub_px) i32
     coef_acc,     # scratch (n_sub, 32, sub_px) f32
-    rhs_rel,      # scratch (48, 4 * sub_px) bf16 — block-diag pixel matrix
-                  #   (half-integer pixel offsets < 2^8: bf16-exact)
     ranks,        # scratch (n_sub, T) f32 — masked compaction ranks
     *,
     tile: int,
@@ -499,27 +497,6 @@ def _raster_kernel(
 
     x0f = tx.astype(jnp.float32) * tile
     y0f = ty.astype(jnp.float32) * tile
-
-    # one-time constant for the whole launch (scratch persists across the
-    # sequential grid): block-diagonal SUBTILE-RELATIVE pixel matrix,
-    # RHS[row, q*P + p] for quantities q in (e0, e1, e2, z):
-    #   row == 3q     -> dx(p) + .5   (pixel x within the subtile)
-    #   row == 3q + 1 -> dy(p) + .5
-    #   row == 3q + 2 -> 0            (constant terms live in the origin
-    #                                  offsets added per subtile)
-    @pl.when(w == 0)
-    def _init_consts():
-        rows = jax.lax.broadcasted_iota(jnp.int32, (48, 4 * P), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (48, 4 * P), 1)
-        q = cols // P
-        p = cols % P
-        dx = (p % tile).astype(jnp.float32) + 0.5
-        dy = (p // tile).astype(jnp.float32) + 0.5
-        r = rows - 3 * q
-        rhs_rel[:] = jnp.where(
-            (rows < 12) & (r == 0), dx,
-            jnp.where((rows < 12) & (r == 1), dy, jnp.float32(0.0)),
-        ).astype(jnp.bfloat16)
 
     @pl.when(first == 1)
     def _init_tile():
@@ -588,7 +565,6 @@ def _raster_kernel(
                 # NT contraction (both operands contract on lanes): the
                 # component-major (48, T) layout needs no transpose
                 ntdims = (((1,), (1,)), ((), ()))
-                dims = (((1,), (0,)), ((), ()))
                 # compaction partials per split term: each dot is a single
                 # exact bf16 MXU pass (the one-hot is 0/1), so each partial
                 # equals the compacted bf16 term exactly.
@@ -606,44 +582,41 @@ def _raster_kernel(
                 )
                 # ascending-term sum: lo, then mid, then hi
                 blk = (p_lo + p_mid) + p_hi           # (K, 48) f32
-                # all edge/z values at subtile-relative pixel positions.
-                # The partials ARE an exact bf16-term decomposition of the
-                # coefficients and rhs_rel is bf16-exact (half-integer
-                # pixel offsets < 2^8), so three DEFAULT bf16 passes give
-                # f32-grade accuracy (probe: 1.2e-7 max rel err, same as
-                # HIGHEST on f32 inputs) at half the MXU cost.
-                erel = jax.lax.dot_general(
-                    p_lo.astype(jnp.bfloat16), rhs_rel[:], dims,
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    p_mid.astype(jnp.bfloat16), rhs_rel[:], dims,
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    p_hi.astype(jnp.bfloat16), rhs_rel[:], dims,
-                    preferred_element_type=jnp.float32,
-                )                                     # (K, 4P)
                 live = blk[:, _R_VALID:_R_VALID + 1] > 0.5
 
-                def off(base):
-                    return (
-                        blk[:, base:base + 1] * x0f
-                        + blk[:, base + 1:base + 2] * sy0
-                        + blk[:, base + 2:base + 3]
-                    )  # (K, 1)
+                # edge/z evaluation as VPU broadcast-FMA from the
+                # compacted coefficient COLUMNS: (K, 1) x (1, P) lane
+                # broadcasts are native after compaction (the round-1
+                # kernel's slow path was per-tri VMEM scalar broadcasts,
+                # which compaction eliminates). Exact f32 with the SAME
+                # association as the oracle (a*px + b*py + c, left to
+                # right, rasterize_tile_z) — bit-identical on CPU AND
+                # hardware, unlike any MXU formulation.
+                pcolf = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, P), 1
+                )
+                pxc = (pcolf % tile).astype(jnp.float32) + (x0f + 0.5)
+                pyc = (pcolf // tile).astype(jnp.float32) + (sy0 + 0.5)
 
-                e0 = erel[:, 0 * P:1 * P] + off(_R_EDGE + 0)
-                e1 = erel[:, 1 * P:2 * P] + off(_R_EDGE + 3)
-                e2 = erel[:, 2 * P:3 * P] + off(_R_EDGE + 6)
-                zq = erel[:, 3 * P:4 * P] + off(_R_Z)
+                def ev(base):
+                    return (
+                        blk[:, base:base + 1] * pxc
+                        + blk[:, base + 1:base + 2] * pyc
+                        + blk[:, base + 2:base + 3]
+                    )  # (K, P)
+
+                e0 = ev(_R_EDGE + 0)
+                e1 = ev(_R_EDGE + 3)
+                e2 = ev(_R_EDGE + 6)
+                zq = ev(_R_Z)
 
                 edge_min = jnp.minimum(e0, jnp.minimum(e1, e2))
                 # 0 <= zq <= ~1 is the depth clip (near for clipless
                 # crossing tris, far-with-slack for degenerate slivers;
                 # matches ops/raster.py), plus the per-tri bbox scissor
                 # (pixel index i covers iff bx0 <= i <= bx1)
-                pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-                pxi = (pcol % tile).astype(jnp.float32) + x0f
-                pyi = (pcol // tile).astype(jnp.float32) + sy0
+                pxi = pxc - 0.5
+                pyi = pyc - 0.5
                 in_bb = (
                     (pxi >= blk[:, _R_BBOX:_R_BBOX + 1])
                     & (pxi <= blk[:, _R_BBOX + 2:_R_BBOX + 3])
@@ -668,15 +641,33 @@ def _raster_kernel(
                 )  # (1, P)
                 covered = idx < K
 
-                # winner one-hot: coefficient swap + original tri index.
-                # The id rides two bf16-exact channels ((t//256)*256 and
-                # t%256) so the default-precision matmul is exact.
-                ohw = (kiota == idx).astype(jnp.float32)   # (K, P)
+                # winner one-hot swap of rows [_R_COEF, _R_ID+2): the 27
+                # interpolation coefficients AND the two id channels ride
+                # the same ascending 3-term bf16 matmuls (ids are exact in
+                # any case: id_hi is a multiple of 256 < 2048, id_lo <
+                # 256). Three terms are REQUIRED for the coefficients:
+                # tiny distant triangles have attr planes with huge
+                # cancelling (a, b, c), so a 2-term 2^-16 relative-
+                # of-coefficient error shows up as ~1e-3 on interpolated
+                # values (measured 0.46% of pixels beyond the 3e-4
+                # tolerance). Folding the ids in still saves the separate
+                # id dot (~8 MXU passes per round).
+                ohw = (kiota == idx).astype(jnp.bfloat16)  # (K, P)
                 wdims = (((0,), (0,)), ((), ()))
-                idv = jax.lax.dot_general(
-                    blk[:, _R_ID:_R_ID + 2], ohw, wdims,
+                sw = blk[:, _R_COEF:_R_ID + 2]              # (K, 30)
+                s_hi, s_mid, s_lo = _split3_bf16(sw)
+                swapped = jax.lax.dot_general(
+                    s_lo, ohw, wdims,
                     preferred_element_type=jnp.float32,
-                )                                          # (2, P)
+                ) + jax.lax.dot_general(
+                    s_mid, ohw, wdims,
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    s_hi, ohw, wdims,
+                    preferred_element_type=jnp.float32,
+                )                                           # (30, P)
+                new_coef = swapped[0:NUM_COEF]
+                idv = swapped[NUM_COEF + 1:NUM_COEF + 3]
                 tid = (idv[0:1, :] + idv[1:2, :]).astype(jnp.int32)
                 gid = jnp.where(covered, base_id + tid, _BIG_ID)
 
@@ -689,22 +680,6 @@ def _raster_kernel(
                 upd = covered & (
                     better | ((z_best == zs) & (gid < ids))
                 )
-
-                # exact f32 coefficient swap: same ascending 3-term bf16
-                # split, against the winner one-hot
-                coefs = blk[:, _R_COEF:_R_COEF + NUM_COEF]  # (K, 27)
-                c_hi, c_mid, c_lo = _split3_bf16(coefs)
-                ohw_b = ohw.astype(jnp.bfloat16)
-                new_coef = jax.lax.dot_general(
-                    c_lo, ohw_b, wdims,
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    c_mid, ohw_b, wdims,
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    c_hi, ohw_b, wdims,
-                    preferred_element_type=jnp.float32,
-                )                                           # (27, P)
                 acc = coef_acc[pl.ds(s, 1), 0:NUM_COEF, :]
                 coef_acc[pl.ds(s, 1), 0:NUM_COEF, :] = jnp.where(
                     upd[None], new_coef[None], acc
@@ -802,7 +777,6 @@ def rasterize_pallas(
             pltpu.VMEM((n_sub, P), jnp.float32),
             pltpu.VMEM((n_sub, P), jnp.int32),
             pltpu.VMEM((n_sub, 32, P), jnp.float32),
-            pltpu.VMEM((48, 4 * P), jnp.bfloat16),
             pltpu.VMEM((n_sub, T), jnp.float32),
         ],
     )

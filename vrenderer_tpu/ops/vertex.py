@@ -145,12 +145,18 @@ def vertex_stage(
     u = texture.world_to_uv(ux, world)
     v = texture.world_to_uv(uz, world)
 
-    # separable bilinear sampling of every channel on the lattice
+    # separable bilinear sampling of every channel on the lattice.
+    # Heights keep HIGHEST precision (they drive world positions and the
+    # rasterizer; bf16 quantization is meters of terrain error). The
+    # visual channels (albedo, shadow, normal field) tolerate the default
+    # bf16 MXU pass (~0.4% relative) — half the sampling MXU cost, and
+    # identical on the f32 CPU/test path.
     nrm_field = normal_fields(heightmap)
     h = texture.sample_separable(heightmap, u, v)                  # (I,S,S)
-    alb = texture.sample_separable(albedo, u, v)                   # (I,S,S,3)
-    nrm = texture.sample_separable(nrm_field, u, v)                # (I,S,S,3)
-    shad = texture.sample_separable(shadow_field, u, v)            # (I,S,S)
+    vis = jax.lax.Precision.DEFAULT
+    alb = texture.sample_separable(albedo, u, v, precision=vis)    # (I,S,S,3)
+    nrm = texture.sample_separable(nrm_field, u, v, precision=vis)  # (I,S,S,3)
+    shad = texture.sample_separable(shadow_field, u, v, precision=vis)
 
     # per-vertex morph factor from the UNmorphed position (terrain_vs.hlsl:46)
     wx = jnp.broadcast_to(ux[:, None, :], (ux.shape[0], S, S))  # (I, r=z, c=x)
