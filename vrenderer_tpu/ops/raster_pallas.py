@@ -154,73 +154,81 @@ def pack_tri_data(
     matmul (which contracts the whole instance) never sees NaN (the MXU
     turns 0 * NaN into NaN)."""
     n = num_instances * tris_per_inst
-    ok = setup.valid[:, None]
-    edge = jnp.where(ok, setup.edge.reshape(n, 9), 0.0)
-    planes3 = jnp.where(ok[:, :, None], setup.planes, 0.0)  # (n, 10, 3)
-    z = planes3[:, 0, :]
-    # coefficient rows structure-of-arrays: strided sublane slices lower
-    # to unsupported gathers in Mosaic
-    coef = jnp.swapaxes(planes3[:, 1:10, :], 1, 2).reshape(n, 27)
-    valid = setup.valid.astype(jnp.float32)[:, None]
-    t_local = jnp.tile(
-        jnp.arange(tris_per_inst, dtype=jnp.int32), num_instances
+    I, T = num_instances, tris_per_inst
+    okf = setup.valid.reshape(I, T)
+
+    # component-major channel maps, each an (I, T) array built from a
+    # strided slice of the setup — no concat/swizzle intermediates, so
+    # the whole pack fuses into one linear (I, 48, T) write (see
+    # PackedTris docstring). The channel order is the _R_* layout:
+    # 9 edges, 3 z, 27 coefs SoA (a[9], b[9], c[9] — strided sublane
+    # slices lower to gathers in Mosaic), valid, 2 ids, 4 bbox, 2 pad.
+    def ch(x):  # zero invalid lanes (NaN-poisoned coefficients)
+        return jnp.where(okf, x.reshape(I, T), 0.0)
+
+    chans = []
+    for e in range(3):
+        for c in range(3):
+            chans.append(ch(setup.edge[:, e, c]))
+    for c in range(3):
+        chans.append(ch(setup.planes[:, 0, c]))
+    for c in range(3):
+        for q in range(9):
+            chans.append(ch(setup.planes[:, 1 + q, c]))
+    chans.append(okf.astype(jnp.float32))
+    t_local = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.float32)[None, :], (I, T)
     )
-    id_hi = ((t_local // 256) * 256).astype(jnp.float32)[:, None]
-    id_lo = (t_local % 256).astype(jnp.float32)[:, None]
-    bbox4 = jnp.where(ok, setup.bbox, 0.0)
-    pad = jnp.zeros((n, _R_TOTAL - _R_BBOX - 4), jnp.float32)
-    flat = jnp.concatenate(
-        [edge, z, coef, valid, id_hi, id_lo, bbox4, pad], axis=1
-    )  # (n, 48)
-    # component-major: stack the 48 channels as (I, 48, T) so each channel
-    # writes as a contiguous (I, T) map (see PackedTris docstring)
-    tri_data = jnp.stack(
-        [
-            flat[:, j].reshape(num_instances, tris_per_inst)
-            for j in range(_R_TOTAL)
-        ],
-        axis=1,
-    )
+    chans.append((t_local // 256.0) * 256.0)
+    chans.append(t_local % 256.0)
+    for c in range(4):
+        chans.append(ch(setup.bbox[:, c]))
+    zero_ch = jnp.zeros((I, T), jnp.float32)
+    chans += [zero_ch] * (_R_TOTAL - _R_BBOX - 4)
+    tri_data = jnp.stack(chans, axis=1)  # (I, 48, T)
 
     # lane-major bbox/valid columns for in-kernel subtile masks
-    bbox = jnp.where(
-        ok, setup.bbox,
-        jnp.asarray([_FAR, _FAR, -_FAR, -_FAR], jnp.float32),
-    ).reshape(num_instances, tris_per_inst, 4)
-    vcol = setup.valid.astype(jnp.float32).reshape(
-        num_instances, tris_per_inst
-    )
-    zero = jnp.zeros_like(vcol)
+    def col(c, fill):
+        return jnp.where(okf, setup.bbox[:, c].reshape(I, T), fill)
+
     tri_cols = jnp.stack(
-        [bbox[..., 0], bbox[..., 1], bbox[..., 2], bbox[..., 3],
-         vcol, zero, zero, zero],
+        [col(0, _FAR), col(1, _FAR), col(2, -_FAR), col(3, -_FAR),
+         okf.astype(jnp.float32), zero_ch, zero_ch, zero_ch],
         axis=1,
     )  # (I, 8, T)
 
     # per-batch conservative screen bbox + z range (work-list builder:
-    # item-level early-z bound)
+    # item-level early-z bound). Component form: (I, nb, B) maps, never
+    # a 4-wide minor axis (tiny trailing dims land in padded TPU tiles).
     nb = tris_per_inst // tri_batch
-    vb = setup.valid.reshape(num_instances, nb, tri_batch)
-    big = jnp.where(ok, setup.bbox, jnp.asarray(
-        [_FAR, _FAR, -_FAR, -_FAR], jnp.float32)
-    ).reshape(num_instances, nb, tri_batch, 4)
-    bx0 = jnp.min(big[..., 0], axis=-1)
-    by0 = jnp.min(big[..., 1], axis=-1)
-    bx1 = jnp.max(big[..., 2], axis=-1)
-    by1 = jnp.max(big[..., 3], axis=-1)
+    vb = okf.reshape(I, nb, tri_batch)
+
+    def bcol(c, fill):
+        return jnp.where(
+            vb, setup.bbox[:, c].reshape(I, nb, tri_batch), fill
+        )
+
+    tx0 = bcol(0, _FAR)
+    ty0 = bcol(1, _FAR)
+    tx1 = bcol(2, -_FAR)
+    ty1 = bcol(3, -_FAR)
+    bx0 = jnp.min(tx0, axis=-1)
+    by0 = jnp.min(ty0, axis=-1)
+    bx1 = jnp.max(tx1, axis=-1)
+    by1 = jnp.max(ty1, axis=-1)
     # conservative batch z-range from the z plane evaluated at bbox
     # corners of each tri (z is affine, extrema at corners)
-    zp = jnp.where(ok, setup.planes[:, 0, :], 0.0).reshape(
-        num_instances, nb, tri_batch, 3
-    )
-    tb = setup.bbox.reshape(num_instances, nb, tri_batch, 4)
-    zs = []
-    for xi, yi in ((0, 1), (0, 3), (2, 1), (2, 3)):
-        zs.append(zp[..., 0] * tb[..., xi] + zp[..., 1] * tb[..., yi]
-                  + zp[..., 2])
-    zc = jnp.stack(zs, axis=-1)  # (I, nb, B, 4)
-    zmin_t = jnp.where(vb, jnp.min(zc, -1), _FAR)
-    zmax_t = jnp.where(vb, jnp.max(zc, -1), -_FAR)
+    za = jnp.where(vb, setup.planes[:, 0, 0].reshape(I, nb, tri_batch), 0.0)
+    zb = jnp.where(vb, setup.planes[:, 0, 1].reshape(I, nb, tri_batch), 0.0)
+    zc_ = jnp.where(vb, setup.planes[:, 0, 2].reshape(I, nb, tri_batch), 0.0)
+    zmin_t = jnp.full_like(za, _FAR)
+    zmax_t = jnp.full_like(za, -_FAR)
+    for xi, yi in ((tx0, ty0), (tx0, ty1), (tx1, ty0), (tx1, ty1)):
+        zq = za * xi + zb * yi + zc_
+        zmin_t = jnp.minimum(zmin_t, zq)
+        zmax_t = jnp.maximum(zmax_t, zq)
+    zmin_t = jnp.where(vb, zmin_t, _FAR)
+    zmax_t = jnp.where(vb, zmax_t, -_FAR)
     bzmin = jnp.min(zmin_t, axis=-1)
     bzmax = jnp.max(zmax_t, axis=-1)
     zero_b = jnp.zeros_like(bx0)
