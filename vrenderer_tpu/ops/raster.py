@@ -95,12 +95,21 @@ def setup_triangles(
     verts = world.reshape(I, -1, 3)
     vattr = attrs.reshape(I, -1, A)
 
-    clip = math3d.transform_points_h(world_to_clip, verts)  # (I, V, 4)
+    # clip-space components as four (I, V) maps (a stacked (I, V, 4)
+    # output keeps a 4-wide minor axis — padded TPU tiles; see the
+    # component-form note below)
+    M = world_to_clip
+    vx, vy, vz = verts[..., 0], verts[..., 1], verts[..., 2]
+    cc = [
+        vx * M[0, c] + vy * M[1, c] + vz * M[2, c] + M[3, c]
+        for c in range(4)
+    ]  # 4 x (I, V)
 
-    # Per-triangle vertex pulls. For the terrain lattice layout this is
-    # done with pure shifted SLICES of the (S, S) grid (a jnp.take here is
-    # an 80M-element gather per frame at 1080p — measured ~0.15G elem/s on
-    # v5e); general meshes use take (small vertex counts).
+    # Per-triangle per-vertex component pulls: vert(x, k) -> (I, T) values
+    # of component map x at vertex k of every triangle. For the terrain
+    # lattice this is pure shifted SLICES of the (S, S) grid (a jnp.take
+    # here is an 80M-element gather per frame at 1080p — measured
+    # ~0.15 G elem/s on v5e); general meshes use take (small counts).
     lattice_side = None
     if world.ndim == 4 and world.shape[1] == world.shape[2]:
         S = world.shape[1]
@@ -110,28 +119,24 @@ def setup_triangles(
 
     if lattice_side is not None:
         S = lattice_side
+        T = (S - 1) * (S - 1) * 2
 
-        def tri_take(x):
-            g = x.reshape((I, S, S) + x.shape[2:])
+        def vert(x, k):
+            g = x.reshape(I, S, S)
             bl = g[:, :-1, :-1]
             tl = g[:, 1:, :-1]
             tr = g[:, 1:, 1:]
             br = g[:, :-1, 1:]
             # make_grid order: per cell (row-major), tri A = (bl, tl, tr),
             # tri B = (bl, tr, br) (TerrainPass.cpp:79-85)
-            a = jnp.stack([bl, tl, tr], axis=3)   # (I, S-1, S-1, 3, ...)
-            b = jnp.stack([bl, tr, br], axis=3)
-            both = jnp.stack([a, b], axis=3)      # (I, S-1, S-1, 2, 3, ...)
-            return both.reshape(
-                (I, (S - 1) * (S - 1) * 2, 3) + x.shape[2:]
-            )
+            a = (bl, tl, tr)[k]
+            b = (bl, tr, br)[k]
+            return jnp.stack([a, b], axis=3).reshape(I, T)
     else:
-        def tri_take(x):
-            return jnp.take(x, tri_indices.reshape(-1), axis=1).reshape(
-                (I, tri_indices.shape[0], 3) + x.shape[2:]
-            )
+        T = tri_indices.shape[0]
 
-    pa = tri_take(vattr)        # (I, T, 3, A)
+        def vert(x, k):
+            return jnp.take(x, tri_indices[:, k], axis=1)
 
     # --- unified homogeneous 2D setup (clipless) -------------------------
     # With M rows (sx*w, sy*w, w) per vertex (linear in clip coords,
@@ -152,14 +157,14 @@ def setup_triangles(
     # is (I, T) with the triangle axis on lanes. Stacked tiny-trailing-dim
     # tensors (cross products on (..., 3)) put 3x3 elements in a padded
     # (8, 128) TPU tile — measured 5x the whole-stage cost.
-    pc = tri_take(clip)                           # (I, T, 3v, 4)
-    w0, w1, w2 = pc[..., 0, 3], pc[..., 1, 3], pc[..., 2, 3]
+    w0, w1, w2 = vert(cc[3], 0), vert(cc[3], 1), vert(cc[3], 2)
 
     def vh(k):  # homogeneous screen row for vertex k: (Xh, Yh, w)
+        w = (w0, w1, w2)[k]
         return (
-            (pc[..., k, 0] + pc[..., k, 3]) * (0.5 * width),
-            (pc[..., k, 3] - pc[..., k, 1]) * (0.5 * height),
-            pc[..., k, 3],
+            (vert(cc[0], k) + w) * (0.5 * width),
+            (w - vert(cc[1], k)) * (0.5 * height),
+            w,
         )
 
     a0, b0, c0 = vh(0)
@@ -192,37 +197,54 @@ def setup_triangles(
         )
 
     ones = jnp.ones_like(w0)
-    coef_list = list(plane(pc[..., 0, 2], pc[..., 1, 2], pc[..., 2, 2]))
+    coef_list = list(plane(vert(cc[2], 0), vert(cc[2], 1), vert(cc[2], 2)))
     coef_list += list(plane(ones, ones, ones))
     for i in range(A):
-        coef_list += list(plane(pa[..., 0, i], pa[..., 1, i], pa[..., 2, i]))
+        ai = vattr[..., i]
+        coef_list += list(plane(vert(ai, 0), vert(ai, 1), vert(ai, 2)))
     planes = jnp.stack(coef_list, axis=-1).reshape(I, -1, A + 2, 3)
 
     # pixel bbox over IN-FRONT vertices (xy = (Xh/w, Yh/w) exactly equals
     # the viewport transform); crossing triangles get the full frame (the
     # w->0 locus projects to infinity)
-    pw = jnp.stack([w0, w1, w2], axis=-1)          # (I, T, 3)
-    behind = pw <= w_eps
-    crossing = jnp.any(behind, axis=-1) & jnp.any(~behind, axis=-1)
-    w_ok = jnp.all(~behind, axis=-1)
-    safe_w = jnp.where(behind, 1.0, pw)
-    xs = jnp.stack([a0, a1, a2], axis=-1) / safe_w
-    ys = jnp.stack([b0, b1, b2], axis=-1) / safe_w
+    bh0, bh1, bh2 = w0 <= w_eps, w1 <= w_eps, w2 <= w_eps
+    any_behind = bh0 | bh1 | bh2
+    w_ok = ~any_behind
+    crossing = any_behind & ~(bh0 & bh1 & bh2)
+    xs0 = a0 / jnp.where(bh0, 1.0, w0)
+    xs1 = a1 / jnp.where(bh1, 1.0, w1)
+    xs2 = a2 / jnp.where(bh2, 1.0, w2)
+    ys0 = b0 / jnp.where(bh0, 1.0, w0)
+    ys1 = b1 / jnp.where(bh1, 1.0, w1)
+    ys2 = b2 / jnp.where(bh2, 1.0, w2)
     # one pixel of padding: the bbox comes from per-vertex division while
     # coverage comes from the homogeneous edge functions, whose rounding
     # can differ by ~1e-4 px at the silhouette — the bbox must stay
     # conservative for the kernel's binning masks
-    bx0 = jnp.clip(jnp.floor(jnp.min(xs, axis=-1)) - 1, 0, width - 1)
-    by0 = jnp.clip(jnp.floor(jnp.min(ys, axis=-1)) - 1, 0, height - 1)
-    bx1 = jnp.clip(jnp.ceil(jnp.max(xs, axis=-1)) + 1, 0, width - 1)
-    by1 = jnp.clip(jnp.ceil(jnp.max(ys, axis=-1)) + 1, 0, height - 1)
-    full_bbox = jnp.asarray(
-        [0.0, 0.0, width - 1.0, height - 1.0], jnp.float32
+    bx0 = jnp.clip(
+        jnp.floor(jnp.minimum(xs0, jnp.minimum(xs1, xs2))) - 1,
+        0, width - 1,
     )
-    bbox = jnp.where(
-        crossing[..., None],
-        full_bbox,
-        jnp.stack([bx0, by0, bx1, by1], axis=-1),
+    by0 = jnp.clip(
+        jnp.floor(jnp.minimum(ys0, jnp.minimum(ys1, ys2))) - 1,
+        0, height - 1,
+    )
+    bx1 = jnp.clip(
+        jnp.ceil(jnp.maximum(xs0, jnp.maximum(xs1, xs2))) + 1,
+        0, width - 1,
+    )
+    by1 = jnp.clip(
+        jnp.ceil(jnp.maximum(ys0, jnp.maximum(ys1, ys2))) + 1,
+        0, height - 1,
+    )
+    bbox = jnp.stack(
+        [
+            jnp.where(crossing, 0.0, bx0),
+            jnp.where(crossing, 0.0, by0),
+            jnp.where(crossing, width - 1.0, bx1),
+            jnp.where(crossing, height - 1.0, by1),
+        ],
+        axis=-1,
     )
     on_screen = (bx1 >= bx0) & (by1 >= by0)
 
@@ -233,16 +255,15 @@ def setup_triangles(
     # area test (y-down CCW front => area2 < -1e-12, the pre-homogeneous
     # behavior); crossing triangles keep the det sign (their pixel area
     # is undefined).
-    x0p, y0p = xs[..., 0], ys[..., 0]
-    x1p, y1p = xs[..., 1], ys[..., 1]
-    x2p, y2p = xs[..., 2], ys[..., 2]
-    area2 = (x1p - x0p) * (y2p - y0p) - (x2p - x0p) * (y1p - y0p)
+    area2 = (xs1 - xs0) * (ys2 - ys0) - (xs2 - xs0) * (ys1 - ys0)
     front = jnp.where(crossing, front, area2 < -1e-12)
 
-    finite = (
-        jnp.all(jnp.isfinite(planes), axis=(-2, -1))
-        & jnp.all(jnp.isfinite(edges), axis=(-2, -1))
-    )
+    finite = jnp.isfinite(det)
+    for m in coef_list:
+        finite = finite & jnp.isfinite(m)
+    for u in (u0, u1, u2):
+        for c in range(3):
+            finite = finite & jnp.isfinite(u[c])
     valid = (
         front & finite & inst_valid[:, None]
         & (crossing | (w_ok & on_screen))
