@@ -51,8 +51,11 @@ def build():
     hm = hmod.procedural_heightmap(256)
     alb = hmod.procedural_albedo(hm)
     on_tpu = jax.default_backend() == "tpu"
+    # 4K has ~4x the supertiles: 1080p fits ~900 work items in 2048,
+    # 4K needs ~2700 (the overflow probe asserts otherwise)
     r = Renderer(cfg, hm, alb, raster_backend="pallas",
-                 interpret=not on_tpu, max_work=2048)
+                 interpret=not on_tpu,
+                 max_work=4096 if HEIGHT > 1200 else 2048)
     params = FrameParams.default()
     cams = flythrough(64, heightmap=hm, max_height=400.0)
     return r, params, cams
