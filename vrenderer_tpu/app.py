@@ -63,6 +63,9 @@ class App:
     heightmap_resolution: int = 256
     seed: int = 1234
     raster_backend: str = "pallas"
+    # startup scene (the reference loads Cube.gltf at boot,
+    # main.cpp:89-95); a models.scene.Scene or None
+    scene: object = None
 
     def __post_init__(self):
         on_tpu = jax.default_backend() == "tpu"
@@ -74,6 +77,7 @@ class App:
             self.config, self.heightmap, self.albedo,
             raster_backend=self.raster_backend,
             interpret=(self.raster_backend == "pallas" and not on_tpu),
+            scene=self.scene,
         )
         self.profiler = FrameProfiler()
         self.params = FrameParams.default()
