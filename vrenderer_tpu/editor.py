@@ -1,0 +1,255 @@
+"""Headless editor shell — the reference's Editor + RenderUI analog.
+
+The reference's Editor (source/editor/Editor.cpp) is an ImGui window
+with: the renderer string + avg ms/frame + FPS readout (Editor.cpp:56-58),
+scrolling frame-time plots (:64-91), a profiler-window toggle (:95-102),
+a glTF file-open dialog feeding BeginLoadingScene (:104-123), and the
+Renderer settings panel (Renderer::RenderUI, Renderer.cpp:456-514:
+reload-shaders button, terrain toggles, max-height slider, sun editor,
+ambient intensity, instance-count readout, quadtree debug view).
+
+Without a window system, the same surface is a command shell: each
+command maps to the corresponding UI control and mutates FrameParams
+(traced — no recompiles) or renderer state, then re-renders. Drive it
+interactively (`python -m vrenderer_tpu.editor`) or programmatically
+(`Editor.execute(...)` — what the tests do).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shlex
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from vrenderer_tpu.camera import Camera
+from vrenderer_tpu.config import FrameConfig, TerrainSettings
+
+
+class Editor:
+    """Command-driven editor session around an App."""
+
+    def __init__(self, app=None, out_dir: str = "/tmp/vrt_editor"):
+        if app is None:
+            from vrenderer_tpu.app import App
+
+            app = App(FrameConfig(
+                width=512, height=256,
+                terrain=TerrainSettings(max_instances=1024),
+            ))
+        self.app = app
+        self.out_dir = out_dir
+        self.camera = Camera.default()
+        self.locked_instances = None
+        self.last_output = None
+        self.frame_counter = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- command surface ---------------------------------------------------
+
+    def execute(self, line: str) -> str:
+        """Run one command; returns the textual response."""
+        parts = shlex.split(line)
+        if not parts:
+            return ""
+        cmd, args = parts[0], parts[1:]
+        fn = getattr(self, f"cmd_{cmd.replace('-', '_')}", None)
+        if fn is None:
+            return f"unknown command: {cmd} (try 'help')"
+        try:
+            return fn(*args) or "ok"
+        except Exception as e:  # surface errors like the reference's log
+            return f"error: {e}"
+
+    def cmd_help(self):
+        return "\n".join([
+            "render [out.png]      render a frame (current camera/params)",
+            "fly N [dir]           render an N-frame flythrough to dir",
+            "camera X Y Z [TX TY TZ]  set eye (and target)",
+            "light AZ EL           sun direction from azimuth/elevation deg",
+            "ambient V | exposure V | max-height V   set render params",
+            "terrain on|off        toggle the terrain pass (traced)",
+            "debug-quadtree on|off node-id tint overlay",
+            "lock | unlock         freeze/unfreeze LOD selection",
+            "load PATH             load a glTF/GLB scene",
+            "clear-scene           drop the scene",
+            "reload                shader-reload analog (drop jit caches)",
+            "stats                 instances/coverage/ms of the last frame",
+            "fps                   window-title style avg ms + FPS",
+            "flamegraph [out.svg]  export the profiler HUD flame graph",
+            "trace [out.json]      export chrome://tracing JSON",
+            "shadow-depth [out]    render the light-view depth map",
+            "quit                  leave the shell",
+        ])
+
+    def _render(self):
+        app = self.app
+        app.profiler.begin_frame()
+        with app.profiler.scope("Render"):
+            if self.locked_instances is not None:
+                out = app.renderer.render_locked(
+                    self.camera, app.params, self.locked_instances
+                )
+            else:
+                out = app.renderer.render(self.camera, app.params)
+            np.asarray(out.ldr)  # force execution for honest frame times
+        app.profiler.end_frame()
+        self.last_output = out
+        self.frame_counter += 1
+        return out
+
+    def cmd_render(self, out_path: Optional[str] = None):
+        from vrenderer_tpu.app import write_png
+
+        out = self._render()
+        path = out_path or os.path.join(
+            self.out_dir, f"frame_{self.frame_counter:04d}.png"
+        )
+        write_png(path, np.asarray(out.ldr))
+        ov = " OVERFLOW" if bool(out.overflow) else ""
+        return (
+            f"wrote {path} instances={int(out.num_instances)}"
+            f" work={int(out.num_work_items)}{ov}"
+        )
+
+    def cmd_fly(self, n: str = "4", dump: Optional[str] = None):
+        outs = self.app.run_flythrough(
+            num_frames=int(n), dump_dir=dump or self.out_dir
+        )
+        self.last_output = outs[-1]
+        return f"rendered {len(outs)} frames to {dump or self.out_dir}"
+
+    def cmd_camera(self, x, y, z, tx="0", ty="0", tz="0"):
+        self.camera = Camera(
+            eye=jnp.asarray([float(x), float(y), float(z)], jnp.float32),
+            target=jnp.asarray(
+                [float(tx), float(ty), float(tz)], jnp.float32
+            ),
+            up=jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+        )
+
+    def cmd_light(self, az, el):
+        a, e = math.radians(float(az)), math.radians(float(el))
+        d = jnp.asarray(
+            [-math.cos(e) * math.cos(a), -math.sin(e),
+             -math.cos(e) * math.sin(a)], jnp.float32
+        )
+        self.app.params = self.app.params._replace(light_direction=d)
+
+    def cmd_ambient(self, v):
+        self.app.params = self.app.params._replace(
+            ambient_intensity=jnp.float32(float(v))
+        )
+
+    def cmd_exposure(self, v):
+        self.app.params = self.app.params._replace(
+            exposure=jnp.float32(float(v))
+        )
+
+    def cmd_max_height(self, v):
+        self.app.params = self.app.params._replace(
+            max_height=jnp.float32(float(v))
+        )
+
+    def cmd_terrain(self, onoff):
+        self.app.params = self.app.params._replace(
+            render_terrain=jnp.float32(1.0 if onoff == "on" else 0.0)
+        )
+
+    def cmd_debug_quadtree(self, onoff):
+        self.app.params = self.app.params._replace(
+            debug_quadtree=jnp.float32(1.0 if onoff == "on" else 0.0)
+        )
+
+    def cmd_lock(self):
+        self.locked_instances = self.app.renderer.select(self.camera)
+        return "LOD selection frozen (lock-view)"
+
+    def cmd_unlock(self):
+        self.locked_instances = None
+        return "LOD selection live"
+
+    def cmd_load(self, path):
+        from vrenderer_tpu.models import scene as scenemod
+        from vrenderer_tpu.renderer import Renderer
+
+        sc = scenemod.load_gltf(path)
+        app = self.app
+        app.renderer = Renderer(
+            app.config, app.heightmap, app.albedo,
+            raster_backend=app.renderer.raster_backend,
+            interpret=app.renderer.interpret, scene=sc,
+        )
+        return f"loaded {path}: {len(sc.instances)} instance(s)"
+
+    def cmd_clear_scene(self):
+        from vrenderer_tpu.renderer import Renderer
+
+        app = self.app
+        app.renderer = Renderer(
+            app.config, app.heightmap, app.albedo,
+            raster_backend=app.renderer.raster_backend,
+            interpret=app.renderer.interpret,
+        )
+
+    def cmd_reload(self):
+        self.app.renderer.reload_pipelines()
+        return "pipelines dropped; next frame recompiles"
+
+    def cmd_stats(self):
+        out = self.last_output
+        if out is None:
+            return "no frame rendered yet"
+        cov = float(np.mean(np.asarray(out.prim_id) >= 0))
+        return (
+            f"instances={int(out.num_instances)} "
+            f"work_items={int(out.num_work_items)} "
+            f"coverage={cov:.3f} overflow={bool(out.overflow)}"
+        )
+
+    def cmd_fps(self):
+        ms = self.app.profiler.average_frame_ms()
+        fps = 1000.0 / ms if ms > 0 else 0.0
+        # window-title parity (SetInformativeWindowTitle, Renderer.cpp:190)
+        return f"vrenderer_tpu - {ms:.2f} ms/frame ({fps:.1f} FPS)"
+
+    def cmd_flamegraph(self, out_path: Optional[str] = None):
+        path = out_path or os.path.join(self.out_dir, "flame.svg")
+        self.app.profiler.export_flamegraph_svg(path)
+        return f"wrote {path}"
+
+    def cmd_trace(self, out_path: Optional[str] = None):
+        path = out_path or os.path.join(self.out_dir, "trace.json")
+        self.app.profiler.export_chrome_trace(path)
+        return f"wrote {path}"
+
+    def cmd_shadow_depth(self, out_path: Optional[str] = None):
+        from vrenderer_tpu.app import write_png
+
+        z = np.asarray(self.app.renderer.render_shadow_depth(
+            self.app.params))
+        z01 = np.clip(np.where(z > 1e30, 1.0, z), 0.0, 1.0)
+        img = np.repeat(z01[..., None], 3, axis=-1)
+        path = out_path or os.path.join(self.out_dir, "shadow_depth.png")
+        write_png(path, img)
+        return f"wrote {path}"
+
+    def repl(self):  # pragma: no cover - interactive only
+        print("vrenderer_tpu editor — 'help' for commands")
+        while True:
+            try:
+                line = input("vrt> ")
+            except EOFError:
+                break
+            if line.strip() in ("quit", "exit"):
+                break
+            resp = self.execute(line)
+            if resp:
+                print(resp)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    Editor().repl()

@@ -32,6 +32,7 @@ from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Counter names from the reference frame (SURVEY.md §5.1)
 REFERENCE_GPU_COUNTERS = [
@@ -220,6 +221,83 @@ class FrameProfiler:
                 )
         with open(path, "w") as fh:
             json.dump({"traceEvents": events}, fh)
+
+    def export_flamegraph_svg(self, path: str, width_px: int = 1200):
+        """Standalone SVG flame graph of the frame ring — the offline
+        analog of the reference's ImGui profiler HUD
+        (DrawProfilerTimeline, ProfilerWindow.cpp:101-541): a ms
+        gridline header, one row per nesting depth, bars colored by an
+        FNV-1a hash of the event name (ProfilerWindow.cpp DrawBar), and
+        hover tooltips (SVG <title>) with name + duration."""
+        frames = [f for f in self.frames if f["events"]]
+        if not frames:
+            with open(path, "w") as fh:
+                fh.write("<svg xmlns='http://www.w3.org/2000/svg'/>")
+            return
+        t0 = min(f["start"] for f in frames)
+        t1 = max(ev["end"] for f in frames for ev in f["events"])
+        span = max(t1 - t0, 1e-9)
+        max_depth = max(
+            (ev["depth"] for f in frames for ev in f["events"]),
+            default=0,
+        )
+        row_h, header_h = 22, 26
+        height = header_h + (max_depth + 2) * row_h + 8
+
+        def fnv_color(name: str) -> str:
+            h = 2166136261
+            for b in name.encode():
+                h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+            # same trick as the HUD: hash -> hue-ish stable pastel
+            r = 96 + (h & 0x7F)
+            g = 96 + ((h >> 8) & 0x7F)
+            b_ = 96 + ((h >> 16) & 0x7F)
+            return f"rgb({r},{g},{b_})"
+
+        def x(t):
+            return (t - t0) / span * width_px
+
+        parts = [
+            f"<svg xmlns='http://www.w3.org/2000/svg' "
+            f"width='{width_px}' height='{height}' "
+            f"font-family='monospace' font-size='11'>",
+            f"<rect width='{width_px}' height='{height}' fill='#1b1b1f'/>",
+        ]
+        # ms gridlines (header, ProfilerWindow.cpp:150-186 analog)
+        total_ms = span * 1e3
+        step = 10 ** max(0, int(np.floor(np.log10(max(total_ms, 1e-3)))) - 1)
+        m = 0.0
+        while m <= total_ms:
+            gx = m / total_ms * width_px
+            parts.append(
+                f"<line x1='{gx:.1f}' y1='{header_h}' x2='{gx:.1f}' "
+                f"y2='{height}' stroke='#333'/>"
+                f"<text x='{gx + 2:.1f}' y='14' fill='#888'>"
+                f"{m:.0f} ms</text>"
+            )
+            m += step
+        for f in frames:
+            for ev in f["events"]:
+                d = max(ev["depth"], 0) + (1 if ev["depth"] >= 0 else 0)
+                bx, bw = x(ev["start"]), max(
+                    x(ev["end"]) - x(ev["start"]), 0.5
+                )
+                by = header_h + d * row_h
+                dur_ms = (ev["end"] - ev["start"]) * 1e3
+                label = (
+                    ev["name"] if bw > 7 * len(ev["name"]) else ""
+                )
+                parts.append(
+                    f"<g><rect x='{bx:.1f}' y='{by}' width='{bw:.1f}' "
+                    f"height='{row_h - 3}' rx='2' "
+                    f"fill='{fnv_color(ev['name'])}'>"
+                    f"<title>{ev['name']}: {dur_ms:.3f} ms</title></rect>"
+                    f"<text x='{bx + 3:.1f}' y='{by + 14}' "
+                    f"fill='#111'>{label}</text></g>"
+                )
+        parts.append("</svg>")
+        with open(path, "w") as fh:
+            fh.write("".join(parts))
 
     def average_frame_ms(self) -> float:
         """Title-bar style avg ms/frame (Renderer.cpp:190)."""
