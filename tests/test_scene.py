@@ -205,3 +205,122 @@ def test_transform_mesh_nonuniform_scale_normals():
     e1 = p[tris[:, 1]] - p[tris[:, 0]]
     dots = np.abs(np.sum(n[tris[:, 0]] * e1, axis=-1))
     assert dots.max() < 1e-5
+
+
+def _png_bytes(pixels_u8):
+    """Encode an (H, W, 3) u8 array as PNG (filter 0 rows)."""
+    import struct as _st
+    import zlib
+
+    h, w = pixels_u8.shape[:2]
+    raw = b"".join(
+        b"\x00" + pixels_u8[r].tobytes() for r in range(h)
+    )
+
+    def chunk(tag, data):
+        c = tag + data
+        return _st.pack(">I", len(data)) + c + _st.pack(
+            ">I", zlib.crc32(c))
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_load_gltf_base_color_texture(tmp_path):
+    # 2x2 texture: TL red, TR green, BL blue, BR white; quad corners
+    # sample the texel centers exactly (uv 0..1 maps texel 0..W-1)
+    tex = np.asarray(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        np.uint8,
+    )
+    png = _png_bytes(tex)
+    pos = np.asarray(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    uv = np.asarray([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    idx = np.asarray([0, 1, 2, 1, 3, 2], np.uint16)
+    buf = pos.tobytes() + uv.tobytes() + idx.tobytes()
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+            "indices": 2, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0}}}],
+        "textures": [{"source": 0}],
+        "images": [{"uri": "data:image/png;base64,"
+                    + base64.b64encode(png).decode()}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4,
+             "type": "VEC2"},
+            {"bufferView": 2, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 32},
+            {"buffer": 0, "byteOffset": 80, "byteLength": 12},
+        ],
+        "buffers": [{
+            "uri": "data:application/octet-stream;base64,"
+            + base64.b64encode(buf).decode(),
+            "byteLength": len(buf),
+        }],
+    }
+    p = tmp_path / "tex.gltf"
+    p.write_text(json.dumps(gltf))
+    scene = scenemod.load_gltf(str(p))
+    cols = np.asarray(scene.instances[0].mesh.colors)
+    np.testing.assert_allclose(cols[0], [1, 0, 0], atol=2e-2)
+    np.testing.assert_allclose(cols[1], [0, 1, 0], atol=2e-2)
+    np.testing.assert_allclose(cols[2], [0, 0, 1], atol=2e-2)
+    np.testing.assert_allclose(cols[3], [1, 1, 1], atol=2e-2)
+
+
+def test_load_gltf_vertex_colors(tmp_path):
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    vc = np.asarray([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    idx = np.asarray([0, 1, 2, 0], np.uint16)
+    buf = pos.tobytes() + vc.tobytes() + idx.tobytes()
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "COLOR_0": 1},
+            "indices": 2}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5123, "count": 3,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 72, "byteLength": 6},
+        ],
+        "buffers": [{
+            "uri": "data:application/octet-stream;base64,"
+            + base64.b64encode(buf).decode(),
+            "byteLength": len(buf),
+        }],
+    }
+    p = tmp_path / "vc.gltf"
+    p.write_text(json.dumps(gltf))
+    scene = scenemod.load_gltf(str(p))
+    cols = np.asarray(scene.instances[0].mesh.colors)
+    # default material 0.8 gray x vertex colors
+    np.testing.assert_allclose(cols[0], [0.8, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(cols[1], [0, 0.8, 0], atol=1e-6)

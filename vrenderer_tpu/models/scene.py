@@ -98,6 +98,102 @@ def _read_accessor(gltf: dict, buffers: List[bytes], idx: int) -> np.ndarray:
     return out
 
 
+def _decode_png(data: bytes) -> np.ndarray:
+    """Minimal PNG decoder (8-bit gray/RGB/RGBA, non-interlaced) — keeps
+    the loader dependency-free, mirroring the writer in app.py. Returns
+    (H, W, 3) float in [0, 1]."""
+    import zlib
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    off = 8
+    idat = b""
+    w = h = depth = ctype = None
+    while off < len(data):
+        (clen,) = struct.unpack_from(">I", data, off)
+        tag = data[off + 4: off + 8]
+        body = data[off + 8: off + 8 + clen]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            assert depth == 8, "only 8-bit PNGs supported"
+            assert interlace == 0, "interlaced PNGs unsupported"
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        off += 12 + clen
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    pos = 0
+    for row in range(h):
+        filt = raw[pos]
+        line = np.frombuffer(raw[pos + 1: pos + 1 + stride], np.uint8)
+        pos += 1 + stride
+        cur = line.astype(np.int32)
+        if filt == 0:
+            rec = cur
+        elif filt == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        else:  # Sub / Average / Paeth need sequential left-neighbors
+            rec = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = rec[i - nch] if i >= nch else 0
+                b = int(prev[i])
+                if filt == 1:
+                    pred = a
+                elif filt == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = int(prev[i - nch]) if i >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                rec[i] = (cur[i] + pred) & 0xFF
+        out[row] = rec.astype(np.uint8)
+        prev = out[row]
+    img = out.reshape(h, w, nch).astype(np.float32) / 255.0
+    if nch == 1:
+        img = np.repeat(img, 3, axis=-1)
+    elif nch == 2:
+        img = np.repeat(img[..., :1], 3, axis=-1)
+    else:
+        img = img[..., :3]
+    return img
+
+
+def _sample_bilinear(img: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """Bilinear sample (H, W, 3) at (N, 2) uv (wrap addressing, the glTF
+    default sampler). Host-side numpy — runs once at LOAD time, so the
+    frame path stays gather-free (colors are baked to vertices)."""
+    H, W = img.shape[:2]
+
+    def wrap(x):
+        f = x - np.floor(x)
+        # REPEAT, but an exact upper edge (u = 1, 2, ...) stays at 1.0
+        # rather than collapsing onto the left texel
+        return np.where((x != 0.0) & (f == 0.0), 1.0, f)
+
+    u = wrap(uv[:, 0]) * (W - 1)
+    v = wrap(uv[:, 1]) * (H - 1)
+    x0 = np.floor(u).astype(np.int64)
+    y0 = np.floor(v).astype(np.int64)
+    x1 = np.minimum(x0 + 1, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    fx = (u - x0)[:, None]
+    fy = (v - y0)[:, None]
+    a = img[y0, x0]
+    b = img[y0, x1]
+    c = img[y1, x0]
+    d = img[y1, x1]
+    return (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy
+
+
 def _node_transform(node: dict) -> np.ndarray:
     """glTF node -> (4, 3) row-vector affine (column-major M in the file,
     v' = M @ v for column vectors == v @ M^T for row vectors)."""
@@ -154,13 +250,64 @@ def load_gltf(path: str) -> Scene:
                 buffers.append(open(os.path.join(base_dir, uri), "rb").read())
 
     materials = gltf.get("materials", [])
+    _image_cache: dict = {}
+
+    def _load_image(idx: int):
+        if idx in _image_cache:
+            return _image_cache[idx]
+        img_def = gltf["images"][idx]
+        data = None
+        if "bufferView" in img_def:
+            view = gltf["bufferViews"][img_def["bufferView"]]
+            buf = buffers[view.get("buffer", 0)]
+            o = view.get("byteOffset", 0)
+            data = buf[o: o + view["byteLength"]]
+        else:
+            uri = img_def.get("uri", "")
+            if uri.startswith("data:"):
+                data = base64.b64decode(uri.split(",", 1)[1])
+            elif uri:
+                data = open(
+                    os.path.join(os.path.dirname(path), uri), "rb"
+                ).read()
+        img = None
+        if data is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
+            try:
+                img = _decode_png(data)
+            except Exception as e:  # fall back to the factor color
+                import warnings
+
+                warnings.warn(f"PNG decode failed for image {idx}: {e}")
+        elif data is not None:
+            import warnings
+
+            warnings.warn(
+                f"image {idx}: unsupported format (PNG only); using "
+                f"baseColorFactor"
+            )
+        _image_cache[idx] = img
+        return img
 
     def base_color(prim):
+        """(factor_rgb, baked_texture_image_or_None, uv_set)."""
         m = prim.get("material")
         if m is None:
-            return (0.8, 0.8, 0.8)
+            return (0.8, 0.8, 0.8), None, 0
         pbr = materials[m].get("pbrMetallicRoughness", {})
-        return tuple(pbr.get("baseColorFactor", [0.8, 0.8, 0.8, 1.0])[:3])
+        factor = tuple(
+            pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])[:3]
+        ) if "baseColorTexture" in pbr else tuple(
+            pbr.get("baseColorFactor", [0.8, 0.8, 0.8, 1.0])[:3]
+        )
+        img = None
+        uv_set = 0
+        tex = pbr.get("baseColorTexture")
+        if tex is not None:
+            uv_set = tex.get("texCoord", 0)
+            src = gltf["textures"][tex["index"]].get("source")
+            if src is not None:
+                img = _load_image(src)
+        return factor, img, uv_set
 
     meshes_out: List[List[Mesh]] = []
     for mesh in gltf.get("meshes", []):
@@ -178,8 +325,26 @@ def load_gltf(path: str) -> Scene:
                 tris = idx.reshape(-1, 3).astype(np.int32)
             else:
                 tris = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
-            col = np.tile(np.asarray(base_color(prim), np.float32),
-                          (len(pos), 1))
+            factor, img, uv_set = base_color(prim)
+            col = np.tile(np.asarray(factor, np.float32), (len(pos), 1))
+            uv_key = f"TEXCOORD_{uv_set}"
+            if img is not None and uv_key in prim["attributes"]:
+                # bake the base-color texture to vertex colors at load
+                # time (host-side bilinear): the frame path stays
+                # gather-free, and low-poly scene meshes sample their
+                # textures at >= the rate Donut's pixel shader would for
+                # the same texel density
+                uv = _read_accessor(
+                    gltf, buffers, prim["attributes"][uv_key]
+                )
+                col = col * _sample_bilinear(
+                    img, uv[:, :2].astype(np.float32)
+                ).astype(np.float32)
+            if "COLOR_0" in prim["attributes"]:
+                vc = _read_accessor(
+                    gltf, buffers, prim["attributes"]["COLOR_0"]
+                )
+                col = col * vc[:, :3].astype(np.float32)
             prims.append(
                 Mesh(
                     positions=jnp.asarray(pos, jnp.float32),
