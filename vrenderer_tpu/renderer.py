@@ -301,9 +301,13 @@ class Renderer:
         #     receiver points.
         world_size = float(cfg.terrain.world_size)
         mesh_shadow_fn = None
+        shadow_overflow = jnp.int32(0)
         if cfg.shadow_mode == "map":
-            depth_map, wtc_l, z_range = self._light_depth_pass(
+            depth_map, wtc_l, z_range, shadow_items = self._light_depth_pass(
                 params, vc["camera_pos"]
+            )
+            shadow_overflow = (shadow_items > self.max_work).astype(
+                jnp.int32
             )
             hw = self.heightmap * params.max_height
             Ht, Wt = self.heightmap.shape
@@ -406,6 +410,7 @@ class Renderer:
             overflow=(
                 (n_work > self.max_work)
                 | (instances.count > cfg.terrain.max_instances)
+                | (shadow_overflow > 0)
             ),
         )
         if adapt is not None:
@@ -535,7 +540,7 @@ class Renderer:
             )
         if self.raster_backend == "xla":
             z, _, _ = raster.rasterize_xla(setup, res, res)
-            return z, wtc, z_range
+            return z, wtc, z_range, jnp.int32(0)
         packed = raster_pallas.pack_tri_data(
             setup, ts.max_instances + n_scene, ts.tris_per_instance,
             tri_batch=cfg.raster.tri_batch,
@@ -562,7 +567,7 @@ class Renderer:
             sub_h=cfg.raster.subtile_h, compact_k=cfg.raster.compact_k,
             max_work=self.max_work, interpret=self.interpret,
         )
-        return z, wtc, z_range
+        return z, wtc, z_range, work.num_items
 
     def render_shadow_depth(self, params: Optional[FrameParams] = None
                             ) -> jnp.ndarray:
