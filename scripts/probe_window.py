@@ -85,3 +85,26 @@ def kern_b(st_ref, d_ref, o_ref):
 
 check("b: middle-axis ds", lambda: run(kern_b, jnp.asarray(data3),
                                        (C, NL, 128)))
+
+
+# (c) two-dim contraction: oh (K, WL, 128) x d (C, WL, 128), dims ((1,2),(1,2))
+def kern_c(st_ref, d_ref, o_ref):
+    i = pl.program_id(0)
+    start = st_ref[i] // 128
+    win = d_ref[:, pl.ds(start, WL), :]          # (C, WL, 128)
+    rank4 = (
+        jax.lax.broadcasted_iota(jnp.int32, (WL, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (WL, 128), 1)
+    ) // 16                                       # fake ranks 0..K-1 by 16s
+    oh4 = (
+        rank4[None, :, :]
+        == jax.lax.broadcasted_iota(jnp.int32, (K, WL, 128), 0)
+    ).astype(jnp.bfloat16)
+    blk = jax.lax.dot_general(
+        oh4, win.astype(jnp.bfloat16), (((1, 2), (1, 2)), ((), ())),
+        preferred_element_type=jnp.float32)       # (K, C)
+    o_ref[:] = blk
+
+
+check("c: 2-dim contraction", lambda: run(kern_c, jnp.asarray(data3),
+                                          (C, NL, 128)))
