@@ -29,12 +29,12 @@ from vrenderer_tpu.ops import raster_pallas as rp
 WIDTH, HEIGHT = 1920, 1152
 
 
-def build_setup(cam_idx=0):
+def build_setup(cam_idx=0, max_active=512):
     from vrenderer_tpu.config import FrameConfig, TerrainSettings
     from vrenderer_tpu.renderer import Renderer, FrameParams
     from vrenderer_tpu.terrain import heightmap as hmod, quadtree
     from vrenderer_tpu.camera import flythrough, Camera, make_view_constants
-    from vrenderer_tpu.ops import shadow, vertex, raster
+    from vrenderer_tpu.ops import shadow, vertex
     from vrenderer_tpu.utils import math3d
 
     cfg = FrameConfig(width=WIDTH, height=HEIGHT,
@@ -42,7 +42,7 @@ def build_setup(cam_idx=0):
     hm = hmod.procedural_heightmap(256)
     alb = hmod.procedural_albedo(hm)
     r = Renderer(cfg, hm, alb, raster_backend="pallas", interpret=False,
-                 max_work=2048)
+                 max_work=2048, max_active=max_active)
     params = FrameParams.default()
     cams = flythrough(64, heightmap=hm, max_height=400.0)
     cam = Camera(eye=cams.eye[cam_idx], target=cams.target[cam_idx],
@@ -56,23 +56,19 @@ def build_setup(cam_idx=0):
     planes = math3d.frustum_planes(vc["world_to_clip"])
     instances = quadtree.select_all_surfaces(
         ts, vc["camera_pos"], planes, ts.lod_ranges())
+    instances = r._clip_active(instances)
     vout = vertex.vertex_stage(ts, instances, vc["camera_pos"], hm, alb,
                                shadow_field, params.max_height,
-                               ts.lod_ranges())
-    setup = raster.setup_triangles(
-        vout.world, vout.attrs, instances.valid, r.tri_indices,
-        vc["world_to_clip"], cfg.width, cfg.height)
-    bbox, usable, dist = rp.instance_screen_bbox(
-        vout.world, vc["world_to_clip"], cfg.width, cfg.height,
-        instances.valid)
-    return cfg, setup, bbox, usable, dist
+                               ts.lod_ranges(), nrm_field=r._nrm_field)
+    packed, bbox, usable, dist = r._packed_geometry(
+        vout.world, vout.attrs, instances.valid, vc["world_to_clip"],
+        cfg.width, cfg.height)
+    return cfg, packed, bbox, usable, dist
 
 
-def build_work(cfg, setup, bbox, usable, dist, compact_k, sub_h,
+def build_work(cfg, packed, bbox, usable, dist, compact_k, sub_h,
                max_work=2048):
     ts = cfg.terrain
-    packed = rp.pack_tri_data(setup, ts.max_instances, ts.tris_per_instance,
-                              tri_batch=cfg.raster.tri_batch)
     work = rp.build_work_list(
         bbox, usable, cfg.width, cfg.height, tile=cfg.raster.tile_w,
         tris_per_inst=ts.tris_per_instance, max_work=max_work,

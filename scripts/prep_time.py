@@ -2,10 +2,10 @@
 
 Isolated per-stage chains let XLA prune everything downstream of the one
 scalar consumed, so they wildly under-report. Instead: time composed
-prefixes of the real pipeline (select -> vertex -> setup -> pack -> bbox
--> worklist -> raster -> image), each consuming its outputs via
-reductions; differences between prefixes are the stage costs as they
-actually compose. Chained-iteration timing (axon RTT cancels).
+prefixes of the real pipeline (select -> vertex -> fused setup+pack ->
+worklist -> raster -> image), each consuming its outputs via reductions;
+differences between prefixes are the stage costs as they actually
+compose. Chained-iteration timing (axon RTT cancels).
 
 Usage: JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python scripts/prep_time.py
 """
@@ -24,13 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scripts.kexp import WIDTH, HEIGHT
 from vrenderer_tpu.ops import raster_pallas as rp
-from vrenderer_tpu.ops import raster as rop
 from vrenderer_tpu.ops import shadow as shmod, vertex as vmod
 from vrenderer_tpu.config import FrameConfig, TerrainSettings
 from vrenderer_tpu.renderer import Renderer, FrameParams
 from vrenderer_tpu.terrain import heightmap as hmod, quadtree
 from vrenderer_tpu.camera import flythrough, Camera, make_view_constants
 from vrenderer_tpu.utils import math3d
+
+MAX_ACTIVE = 512
 
 
 def _t(f):
@@ -61,11 +62,11 @@ def main():
     cfg = FrameConfig(width=WIDTH, height=HEIGHT,
                       terrain=TerrainSettings(max_instances=1024))
     ts = cfg.terrain
-    I, T = ts.max_instances, ts.tris_per_instance
+    T = ts.tris_per_instance
     hm = hmod.procedural_heightmap(256)
     alb = hmod.procedural_albedo(hm)
-    r = Renderer(cfg, hm, alb, raster_backend="pallas", max_work=2048)
-    idx = r.tri_indices
+    r = Renderer(cfg, hm, alb, raster_backend="pallas", max_work=2048,
+                 max_active=MAX_ACTIVE)
     params = FrameParams.default()
     cams = flythrough(64, heightmap=hm, max_height=400.0)
     cam = Camera(eye=cams.eye[0], target=cams.target[0], up=cams.up[0])
@@ -79,25 +80,23 @@ def main():
     def run(eye, upto):
         inst = quadtree.select_all_surfaces(ts, eye, planes,
                                             ts.lod_ranges())
+        inst = r._clip_active(inst)
         if upto == "select":
             return inst.count.astype(jnp.float32) * 1e-12
         vo = vmod.vertex_stage(ts, inst, eye, hm, alb, sf,
-                               params.max_height, ts.lod_ranges())
+                               params.max_height, ts.lod_ranges(),
+                               nrm_field=r._nrm_field)
         if upto == "vertex":
             return vo.world.sum() * 1e-12 + vo.attrs.sum() * 1e-12
-        st = rop.setup_triangles(vo.world, vo.attrs, inst.valid, idx,
-                                 vc["world_to_clip"], cfg.width, cfg.height)
-        if upto == "setup":
-            return (st.edge.sum() + st.planes.sum() + st.bbox.sum()
-                    + st.valid.sum()) * 1e-12
-        pk = rp.pack_tri_data(st, I, T, tri_batch=cfg.raster.tri_batch)
-        if upto == "pack":
+        pk, bb, us, dd = r._packed_geometry(
+            vo.world, vo.attrs, inst.valid, vc["world_to_clip"],
+            cfg.width, cfg.height)
+        if upto == "packed":
             # clip: batch_meta holds FAR sentinels that poison the chain
             return (pk.tri_data.sum() + pk.tri_cols.sum()
-                    + jnp.clip(pk.batch_meta, -1e6, 1e6).sum()) * 1e-12
-        bb, us, dd = rp.instance_screen_bbox(
-            vo.world, vc["world_to_clip"], cfg.width, cfg.height,
-            inst.valid)
+                    + jnp.clip(pk.batch_meta, -1e6, 1e6).sum()
+                    + bb.sum() * 1e-12
+                    + jnp.clip(dd, 0, 1e6).sum()) * 1e-12
         wk = rp.build_work_list(
             bb, us, cfg.width, cfg.height, tile=cfg.raster.tile_w,
             tris_per_inst=T, max_work=2048, order_key=dd, packed=pk,
@@ -115,7 +114,7 @@ def main():
                     + pid.sum().astype(jnp.float32) * 1e-12)
         raise ValueError(upto)
 
-    for upto in ("select", "vertex", "setup", "pack", "worklist", "raster"):
+    for upto in ("select", "vertex", "packed", "worklist", "raster"):
         def fn(eye, _u=upto):
             s = run(eye, _u)
             return eye + s * 1e-30, s
@@ -128,61 +127,6 @@ def main():
         return eye + s * 1e-30, s
 
     timed("full _frame", frame_fn, cams.eye[0])
-
-    # triangulate the raster composed-vs-isolated gap: precompute inputs,
-    # then refresh only one of them per iteration
-    eye0 = cams.eye[0]
-    inst0 = quadtree.select_all_surfaces(ts, eye0, planes, ts.lod_ranges())
-    vo0 = jax.jit(lambda e: vmod.vertex_stage(
-        ts, inst0, e, hm, alb, sf, params.max_height, ts.lod_ranges()))(eye0)
-    st0 = jax.jit(lambda w: rop.setup_triangles(
-        w, vo0.attrs, inst0.valid, idx, vc["world_to_clip"], cfg.width,
-        cfg.height))(vo0.world)
-    pk0 = jax.jit(lambda s: rp.pack_tri_data(
-        s, I, T, tri_batch=cfg.raster.tri_batch))(st0)
-    bb0, us0, dd0 = jax.jit(lambda w: rp.instance_screen_bbox(
-        w, vc["world_to_clip"], cfg.width, cfg.height, inst0.valid))(
-            vo0.world)
-    wk0 = jax.jit(lambda b, p: rp.build_work_list(
-        b, us0, cfg.width, cfg.height, tile=cfg.raster.tile_w,
-        tris_per_inst=T, max_work=2048, order_key=dd0, packed=p,
-        sub_h=cfg.raster.subtile_h, compact_k=cfg.raster.compact_k))(
-            bb0, pk0)
-
-    def raster_full_out(pk, wk):
-        z, pid, at, invw = rp.rasterize_pallas(
-            pk, wk, cfg.width, cfg.height, tile=cfg.raster.tile_w,
-            sub_h=cfg.raster.subtile_h, compact_k=cfg.raster.compact_k,
-            max_work=2048)
-        return (jnp.clip(z, 0.0, 2.0).mean() + at.mean()
-                + pid.sum().astype(jnp.float32) * 1e-12)
-
-    def va(args):
-        td, pk, wk = args
-        s = raster_full_out(pk._replace(tri_data=td), wk)
-        return (td + (s * 1e-30).astype(td.dtype), pk, wk), s
-
-    timed("raster fixed-in full-out", va, (pk0.tri_data, pk0, wk0))
-
-    def vb(args):
-        st, wk = args
-        pk2 = rp.pack_tri_data(st, I, T, tri_batch=cfg.raster.tri_batch)
-        s = raster_full_out(pk2, wk)
-        return (st._replace(
-            edge=st.edge + (s * 1e-30).astype(st.edge.dtype)), wk), s
-
-    timed("raster fresh-pack", vb, (st0, wk0))
-
-    def vc_fn(args):
-        bb, pk = args
-        wk2 = rp.build_work_list(
-            bb, us0, cfg.width, cfg.height, tile=cfg.raster.tile_w,
-            tris_per_inst=T, max_work=2048, order_key=dd0, packed=pk,
-            sub_h=cfg.raster.subtile_h, compact_k=cfg.raster.compact_k)
-        s = raster_full_out(pk, wk2)
-        return (bb + s * 1e-30, pk), s
-
-    timed("raster fresh-worklist", vc_fn, (bb0, pk0))
 
 
 if __name__ == "__main__":

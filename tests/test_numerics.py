@@ -47,8 +47,11 @@ def test_unprojection_matmul_requests_full_precision():
 
     src = inspect.getsource(rmod.Renderer._view_rays)
     assert "Precision.HIGHEST" in src
+    # the sharded path must not carry its own unprojection: it renders
+    # bands through the single frame path (same HIGHEST fix applies)
     src2 = inspect.getsource(smod.render_frames_sharded)
-    assert "Precision.HIGHEST" in src2
+    assert "_frame_impl" in src2
+    assert "clip_to_world" not in src2
 
 
 def test_sample_separable_defaults_to_full_precision():

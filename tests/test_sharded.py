@@ -60,3 +60,106 @@ def test_mesh_shapes():
     assert mesh.shape == {"frame": 2, "tile": 4}
     mesh1 = sharded.make_mesh(8, frame_axis=1)
     assert mesh1.shape == {"frame": 1, "tile": 8}
+
+
+def _assert_bands_match_single(r, cams, params, n_frames=1, **kw):
+    """Sharded frames must equal per-frame single-device renders (same
+    silhouette-pixel tolerance as the base test)."""
+    mesh = sharded.make_mesh(8, frame_axis=2)
+    out = sharded.render_frames_sharded(r, cams, params, mesh, **kw)
+    frames = np.asarray(out[0] if isinstance(out, tuple) else out)
+    for i in range(n_frames):
+        cam = Camera(eye=cams.eye[i], target=cams.target[i], up=cams.up[i])
+        single = np.asarray(r.render(cam, params).ldr)
+        diff = np.abs(frames[i] - single).max(axis=-1)
+        frac_bad = (diff > 2e-3).mean()
+        assert frac_bad < 1e-4, f"{frac_bad:.2e} of pixels differ"
+    return frames
+
+
+def _cube_scene():
+    from vrenderer_tpu.models import mesh as meshmod, scene as scenemod
+    from vrenderer_tpu.utils import math3d
+
+    return scenemod.Scene(instances=[
+        scenemod.MeshInstance(
+            mesh=meshmod.cube(8.0, color=(0.9, 0.05, 0.05)),
+            transform=math3d.affine_translation(
+                jnp.asarray([0.0, 6.0, 10.0], jnp.float32)),
+        )
+    ])
+
+
+def test_sharded_scene_matches_single():
+    """VERDICT r2 #3: the sharded frame must carry scene meshes — same
+    code path as the single-chip frame (_frame_impl band=...)."""
+    hm = hmod.procedural_heightmap(64, seed=3)
+    alb = hmod.procedural_albedo(hm)
+    r = Renderer(CFG, hm, alb, raster_backend="xla", scene=_cube_scene())
+    params = FrameParams.default()._replace(max_height=jnp.float32(12.0))
+    frames = _assert_bands_match_single(r, _cameras(2), params)
+    # the cube must actually be visible (red-ish pixels somewhere)
+    red = (frames[0][..., 0] > 0.5) & (frames[0][..., 1] < 0.35)
+    assert red.sum() > 20
+
+
+def test_sharded_map_mode_matches_single():
+    """VERDICT r2 #3: shadow_mode='map' under sharding == single-chip."""
+    from vrenderer_tpu.config import FrameConfig, TerrainSettings
+
+    cfg = FrameConfig(
+        width=256, height=512,
+        terrain=TerrainSettings(surface_size=64, world_size=64,
+                                max_instances=64, grid_size=8),
+        shadow_mode="map", shadow_resolution=128,
+    )
+    hm = hmod.procedural_heightmap(64, seed=3)
+    alb = hmod.procedural_albedo(hm)
+    r = Renderer(cfg, hm, alb, raster_backend="xla", scene=_cube_scene())
+    params = FrameParams.default()._replace(max_height=jnp.float32(12.0))
+    _assert_bands_match_single(r, _cameras(2), params)
+
+
+def test_sharded_param_gates_match_single():
+    """render_terrain / debug_quadtree gates behave under sharding."""
+    hm = hmod.procedural_heightmap(64, seed=3)
+    alb = hmod.procedural_albedo(hm)
+    r = Renderer(CFG, hm, alb, raster_backend="xla")
+    params = FrameParams.default()._replace(
+        max_height=jnp.float32(12.0),
+        render_terrain=jnp.float32(0.0),
+        debug_quadtree=jnp.float32(1.0),
+    )
+    frames = _assert_bands_match_single(r, _cameras(2), params)
+    # render_terrain=0 -> pure sky: every column of rows is smooth sky
+    assert np.asarray(frames[0]).std(axis=1).mean() < 0.1
+
+
+def test_sharded_adaptation_matches_sequential():
+    """frame_axis=1: the sharded adaptation chain (psum over bands per
+    frame, scan over the batch) equals the sequential single-chip
+    render_adaptive chain."""
+    hm = hmod.procedural_heightmap(64, seed=3)
+    alb = hmod.procedural_albedo(hm)
+    r = Renderer(CFG, hm, alb, raster_backend="xla")
+    params = FrameParams.default()._replace(max_height=jnp.float32(12.0))
+    cams = _cameras(2)
+
+    mesh = sharded.make_mesh(4, frame_axis=1)  # sequential frames x 4 bands
+    frames, overflow, adapted = sharded.render_frames_sharded(
+        r, cams, params, mesh, adapted_lum=0.5, dt=0.1, return_aux=True,
+    )
+    frames = np.asarray(frames)
+    adapted = np.asarray(adapted)
+    assert not np.asarray(overflow).any()
+    # all bands agree on the frame's adapted luminance (psum-combined)
+    assert np.allclose(adapted[0], adapted[0][0])
+    assert np.allclose(adapted[1], adapted[1][0])
+
+    lum = 0.5
+    for i in range(2):
+        cam = Camera(eye=cams.eye[i], target=cams.target[i], up=cams.up[i])
+        out, lum = r.render_adaptive(cam, params, lum, 0.1)
+        np.testing.assert_allclose(adapted[i][0], float(lum), rtol=1e-5)
+        diff = np.abs(frames[i] - np.asarray(out.ldr)).max(axis=-1)
+        assert (diff > 2e-3).mean() < 1e-4

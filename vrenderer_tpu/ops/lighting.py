@@ -22,6 +22,7 @@ fused by the compiler into a handful of HBM sweeps.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from vrenderer_tpu.utils import math3d
@@ -111,6 +112,7 @@ def adapt_exposure(
     min_lum: float = 0.02,
     max_lum: float = 4.0,
     middle_grey: float = 0.5,
+    axis_name=None,
 ):
     """Eye adaptation: (new_adapted_lum, exposure_scale).
 
@@ -127,8 +129,14 @@ def adapt_exposure(
         0.2126 * hdr[..., 0] + 0.7152 * hdr[..., 1] + 0.0722 * hdr[..., 2]
     )
     logl = jnp.log2(jnp.maximum(lum, 1e-6))
-    n = jnp.maximum(jnp.sum(covered.astype(jnp.float32)), 1.0)
-    target = jnp.exp2(jnp.sum(jnp.where(covered, logl, 0.0)) / n)
+    n_cov = jnp.sum(covered.astype(jnp.float32))
+    s_log = jnp.sum(jnp.where(covered, logl, 0.0))
+    if axis_name is not None:
+        # screen-band sharding: the adaptation target is a whole-frame
+        # statistic, so band partial sums combine over the mesh axis
+        n_cov = jax.lax.psum(n_cov, axis_name)
+        s_log = jax.lax.psum(s_log, axis_name)
+    target = jnp.exp2(s_log / jnp.maximum(n_cov, 1.0))
     target = jnp.clip(target, min_lum, max_lum)
     speed = jnp.where(target > adapted_lum, speed_up, speed_down)
     blend = 1.0 - jnp.exp(-dt * speed)

@@ -76,7 +76,31 @@ class TriSetup(NamedTuple):
     valid: jnp.ndarray
 
 
-def setup_triangles(
+class TriComponents(NamedTuple):
+    """Component-form triangle setup: every field is a tuple of (I, T)
+    maps with the triangle axis on lanes — never a stacked tensor with a
+    tiny trailing axis (the TPU tile-padding trap; see module docstring
+    and docs/PERFORMANCE.md). This is the producer layout the Pallas
+    pack (raster_pallas.pack_components) consumes LINEARLY; TriSetup is
+    assembled from it only for the XLA oracle path.
+
+    edge:  9 maps — e{0,1,2} x (a, b, c), gradient-normalized.
+    quant: 10 tuples of 3 maps — (a, b, c) planes for
+           [z_ndc, inv_w, attr_0/w .. attr_7/w].
+    bbox:  4 maps — x0, y0, x1, y1 (inclusive pixel bounds).
+    valid: (I, T) bool.
+    vert_clip: 4 maps of (I, V) — per-VERTEX clip components
+           (x, y, z, w), for instance-level screen bounds.
+    """
+
+    edge: tuple
+    quant: tuple
+    bbox: tuple
+    valid: jnp.ndarray
+    vert_clip: tuple
+
+
+def setup_components(
     world: jnp.ndarray,        # (I, V, 3) or (I, S, S, 3) world positions
     attrs: jnp.ndarray,        # (I, V, A) or (I, S, S, A)
     inst_valid: jnp.ndarray,   # (I,) bool
@@ -85,7 +109,7 @@ def setup_triangles(
     width: int,
     height: int,
     w_eps: float = 1e-4,
-) -> TriSetup:
+) -> TriComponents:
     """Project vertices and build per-triangle setup for I*T triangles.
 
     Accepts either flat per-instance vertex arrays (general meshes) or the
@@ -180,12 +204,11 @@ def setup_triangles(
     det = a0 * u0[0] + b0 * u0[1] + c0 * u0[2]     # (I, T)
     inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
     front = det < 0.0
-    # edges negated so inside = all >= 0
-    edges = jnp.stack(
-        [-u0[0], -u0[1], -u0[2], -u1[0], -u1[1], -u1[2],
-         -u2[0], -u2[1], -u2[2]],
-        axis=-1,
-    ).reshape(I, -1, 3, 3)                         # (I, T, 3e, 3c)
+    # edges negated so inside = all >= 0 (kept as 9 component maps)
+    edge_maps = [
+        -u0[0], -u0[1], -u0[2], -u1[0], -u1[1], -u1[2],
+        -u2[0], -u2[1], -u2[2],
+    ]
 
     # planes for [z_ndc, 1/w, attr/w]: q*w vertex values are
     # (z_clip, 1, attr); coef_j = sum_v u_v[j] * q_v * inv_det
@@ -197,12 +220,11 @@ def setup_triangles(
         )
 
     ones = jnp.ones_like(w0)
-    coef_list = list(plane(vert(cc[2], 0), vert(cc[2], 1), vert(cc[2], 2)))
-    coef_list += list(plane(ones, ones, ones))
+    quant = [plane(vert(cc[2], 0), vert(cc[2], 1), vert(cc[2], 2))]
+    quant.append(plane(ones, ones, ones))
     for i in range(A):
         ai = vattr[..., i]
-        coef_list += list(plane(vert(ai, 0), vert(ai, 1), vert(ai, 2)))
-    planes = jnp.stack(coef_list, axis=-1).reshape(I, -1, A + 2, 3)
+        quant.append(plane(vert(ai, 0), vert(ai, 1), vert(ai, 2)))
 
     # pixel bbox over IN-FRONT vertices (xy = (Xh/w, Yh/w) exactly equals
     # the viewport transform); crossing triangles get the full frame (the
@@ -237,14 +259,11 @@ def setup_triangles(
         jnp.ceil(jnp.maximum(ys0, jnp.maximum(ys1, ys2))) + 1,
         0, height - 1,
     )
-    bbox = jnp.stack(
-        [
-            jnp.where(crossing, 0.0, bx0),
-            jnp.where(crossing, 0.0, by0),
-            jnp.where(crossing, width - 1.0, bx1),
-            jnp.where(crossing, height - 1.0, by1),
-        ],
-        axis=-1,
+    bbox_maps = (
+        jnp.where(crossing, 0.0, bx0),
+        jnp.where(crossing, 0.0, by0),
+        jnp.where(crossing, width - 1.0, bx1),
+        jnp.where(crossing, height - 1.0, by1),
     )
     on_screen = (bx1 >= bx0) & (by1 >= by0)
 
@@ -259,8 +278,9 @@ def setup_triangles(
     front = jnp.where(crossing, front, area2 < -1e-12)
 
     finite = jnp.isfinite(det)
-    for m in coef_list:
-        finite = finite & jnp.isfinite(m)
+    for q in quant:
+        for m in q:
+            finite = finite & jnp.isfinite(m)
     for u in (u0, u1, u2):
         for c in range(3):
             finite = finite & jnp.isfinite(u[c])
@@ -273,17 +293,82 @@ def setup_triangles(
     # pixel distance to the edge (sign/coverage unchanged; enables the
     # wireframe fill mode, reference RasterFillMode::Wireframe,
     # TerrainPass.cpp:311)
-    grad = jnp.sqrt(
-        edges[..., 0] ** 2 + edges[..., 1] ** 2
-    )
-    edges = edges / jnp.maximum(grad, 1e-20)[..., None]
+    norm_edges = []
+    for e in range(3):
+        ea, eb, ec = edge_maps[3 * e:3 * e + 3]
+        g = jnp.maximum(jnp.sqrt(ea * ea + eb * eb), 1e-20)
+        norm_edges += [ea / g, eb / g, ec / g]
 
-    T = tri_indices.shape[0]
+    return TriComponents(
+        edge=tuple(norm_edges),
+        quant=tuple(tuple(q) for q in quant),
+        bbox=bbox_maps,
+        valid=valid,
+        vert_clip=tuple(cc),
+    )
+
+
+def setup_triangles(
+    world: jnp.ndarray,
+    attrs: jnp.ndarray,
+    inst_valid: jnp.ndarray,
+    tri_indices: jnp.ndarray,
+    world_to_clip: jnp.ndarray,
+    width: int,
+    height: int,
+    w_eps: float = 1e-4,
+) -> TriSetup:
+    """Stacked-tensor setup for the XLA oracle rasterizer (and tests).
+
+    The Pallas fast path must NOT go through this: the (N, 3, 3) /
+    (N, C, 3) stacked layouts exist for rasterize_xla's batch indexing and
+    cost real HBM traffic to materialize; the fast path consumes
+    TriComponents directly via raster_pallas.pack_components."""
+    comp = setup_components(
+        world, attrs, inst_valid, tri_indices, world_to_clip,
+        width, height, w_eps,
+    )
+    I, T = comp.valid.shape
+    edges = jnp.stack(comp.edge, axis=-1).reshape(I, T, 3, 3)
+    coef_list = [m for q in comp.quant for m in q]
+    planes = jnp.stack(coef_list, axis=-1).reshape(I, T, len(comp.quant), 3)
+    bbox = jnp.stack(comp.bbox, axis=-1)
     return TriSetup(
         edge=edges.reshape(I * T, 3, 3),
-        planes=planes.reshape(I * T, planes.shape[-2], 3),
+        planes=planes.reshape(I * T, len(comp.quant), 3),
         bbox=bbox.reshape(I * T, 4),
-        valid=valid.reshape(I * T),
+        valid=comp.valid.reshape(I * T),
+    )
+
+
+def shift_setup_y(setup: TriSetup, y0) -> TriSetup:
+    """Rebase stacked-setup screen coefficients to a band at global row
+    y0 (the XLA-oracle analog of shift_components_y): every affine
+    E(x, y) = a x + b y + c becomes E'(x, y') = a x + b y' + (c + b y0)
+    in the band's local frame; bbox y shifts by -y0."""
+    edge = setup.edge.at[..., 2].add(setup.edge[..., 1] * y0)
+    planes = setup.planes.at[..., 2].add(setup.planes[..., 1] * y0)
+    bbox = setup.bbox.at[..., 1].add(-y0)
+    bbox = bbox.at[..., 3].add(-y0)
+    return TriSetup(edge=edge, planes=planes, bbox=bbox, valid=setup.valid)
+
+
+def shift_components_y(comp: TriComponents, y0) -> TriComponents:
+    """Rebase component-form screen coefficients to a band at global row
+    y0: E(x, y_local) = a x + b y_local + (c + b y0); bbox y shifts by
+    -y0. The sharded screen-band path's analog of
+    parallel.sharded.shift_setup_y. vert_clip is untouched (instance
+    bounds are computed before shifting)."""
+    e = list(comp.edge)
+    for k in range(3):
+        e[3 * k + 2] = e[3 * k + 2] + e[3 * k + 1] * y0
+    quant = tuple(
+        (a, b, c + b * y0) for (a, b, c) in comp.quant
+    )
+    bbox = (comp.bbox[0], comp.bbox[1] - y0, comp.bbox[2], comp.bbox[3] - y0)
+    return TriComponents(
+        edge=tuple(e), quant=quant, bbox=bbox, valid=comp.valid,
+        vert_clip=comp.vert_clip,
     )
 
 

@@ -240,6 +240,124 @@ def pack_tri_data(
     )
 
 
+def pack_components(
+    comp, tri_batch: int = 128,
+) -> PackedTris:
+    """TriComponents -> PackedTris without materializing a stacked
+    TriSetup. Every channel is already an (I, T) map with T on lanes, so
+    the (I, 48, T) tri_data write is one linear pass — the fused
+    replacement for setup_triangles + pack_tri_data on the fast path
+    (the stacked (N, 3, 3)/(N, C, 3) intermediates cost ~4 ms/frame of
+    pure relayout at 1080p). Channel layout and zero-invalid semantics
+    identical to pack_tri_data."""
+    okf = comp.valid                      # (I, T)
+    I, T = okf.shape
+    nq = len(comp.quant)
+    assert nq == NUM_COEF // 3 + 1, (
+        f"pack_components expects z + {NUM_COEF // 3} quantities, got {nq}"
+    )
+
+    def ch(x):  # zero invalid lanes (NaN-poisoned coefficients)
+        return jnp.where(okf, x, 0.0)
+
+    chans = [ch(m) for m in comp.edge]              # 9 edge coefficients
+    zpl = comp.quant[0]
+    chans += [ch(zpl[c]) for c in range(3)]         # z plane
+    for c in range(3):                              # 27 coefs SoA (a,b,c)
+        for q in range(1, nq):
+            chans.append(ch(comp.quant[q][c]))
+    chans.append(okf.astype(jnp.float32))
+    t_local = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.float32)[None, :], (I, T)
+    )
+    chans.append((t_local // 256.0) * 256.0)
+    chans.append(t_local % 256.0)
+    for c in range(4):
+        chans.append(ch(comp.bbox[c]))
+    zero_ch = jnp.zeros((I, T), jnp.float32)
+    chans += [zero_ch] * (_R_TOTAL - _R_BBOX - 4)
+    tri_data = jnp.stack(chans, axis=1)  # (I, 48, T)
+
+    def col(c, fill):
+        return jnp.where(okf, comp.bbox[c], fill)
+
+    tri_cols = jnp.stack(
+        [col(0, _FAR), col(1, _FAR), col(2, -_FAR), col(3, -_FAR),
+         okf.astype(jnp.float32), zero_ch, zero_ch, zero_ch],
+        axis=1,
+    )  # (I, 8, T)
+
+    # per-batch conservative screen bbox + z range (same math as
+    # pack_tri_data, reading component maps directly)
+    nb = T // tri_batch
+    vb = okf.reshape(I, nb, tri_batch)
+
+    def bcol(c, fill):
+        return jnp.where(vb, comp.bbox[c].reshape(I, nb, tri_batch), fill)
+
+    tx0 = bcol(0, _FAR)
+    ty0 = bcol(1, _FAR)
+    tx1 = bcol(2, -_FAR)
+    ty1 = bcol(3, -_FAR)
+    bx0 = jnp.min(tx0, axis=-1)
+    by0 = jnp.min(ty0, axis=-1)
+    bx1 = jnp.max(tx1, axis=-1)
+    by1 = jnp.max(ty1, axis=-1)
+    za = jnp.where(vb, zpl[0].reshape(I, nb, tri_batch), 0.0)
+    zb = jnp.where(vb, zpl[1].reshape(I, nb, tri_batch), 0.0)
+    zc_ = jnp.where(vb, zpl[2].reshape(I, nb, tri_batch), 0.0)
+    zmin_t = jnp.full_like(za, _FAR)
+    zmax_t = jnp.full_like(za, -_FAR)
+    for xi, yi in ((tx0, ty0), (tx0, ty1), (tx1, ty0), (tx1, ty1)):
+        zq = za * xi + zb * yi + zc_
+        zmin_t = jnp.minimum(zmin_t, zq)
+        zmax_t = jnp.maximum(zmax_t, zq)
+    zmin_t = jnp.where(vb, zmin_t, _FAR)
+    zmax_t = jnp.where(vb, zmax_t, -_FAR)
+    bzmin = jnp.min(zmin_t, axis=-1)
+    bzmax = jnp.max(zmax_t, axis=-1)
+    zero_b = jnp.zeros_like(bx0)
+    batch_meta = jnp.stack(
+        [bx0, by0, bx1, by1, bzmin, bzmax, zero_b, zero_b], axis=-1
+    )
+    return PackedTris(
+        tri_data=tri_data, tri_cols=tri_cols, batch_meta=batch_meta
+    )
+
+
+def instance_bbox_components(
+    comp, width: int, height: int, inst_valid: jnp.ndarray,
+    w_eps: float = 1e-4,
+):
+    """instance_screen_bbox from TriComponents.vert_clip — component-form
+    (four (I, V) maps), so no (I, V, 4) stacked clip tensor is ever
+    materialized. Same semantics: in-front hull + full-frame widening for
+    near-plane-crossing instances, 1px conservative padding."""
+    cx, cy, _, cw = comp.vert_clip        # (I, V) each
+    front = cw > w_eps
+    big = 1e9
+    inv_w = 1.0 / jnp.where(front, cw, 1.0)
+    sx = (cx * inv_w * 0.5 + 0.5) * width
+    sy = (0.5 - cy * inv_w * 0.5) * height
+    x0 = jnp.min(jnp.where(front, sx, big), axis=1) - 1.0
+    y0 = jnp.min(jnp.where(front, sy, big), axis=1) - 1.0
+    x1 = jnp.max(jnp.where(front, sx, -big), axis=1) + 1.0
+    y1 = jnp.max(jnp.where(front, sy, -big), axis=1) + 1.0
+    any_front = jnp.any(front, axis=1)
+    crossing = any_front & jnp.any(~front, axis=1)
+    x0 = jnp.where(crossing, 0.0, x0)
+    y0 = jnp.where(crossing, 0.0, y0)
+    x1 = jnp.where(crossing, width - 1.0, x1)
+    y1 = jnp.where(crossing, height - 1.0, y1)
+    on = (x1 >= 0) & (y1 >= 0) & (x0 < width) & (y0 < height)
+    dist = jnp.where(front, cw, big).min(axis=1)
+    return (
+        jnp.stack([x0, y0, x1, y1], axis=-1),
+        inst_valid & on & any_front,
+        dist,
+    )
+
+
 class WorkList(NamedTuple):
     """Flat supertile-major work items.
 
@@ -401,40 +519,47 @@ def build_work_list(
     ).astype(jnp.int32)
 
     # per-(item, subtile) triangle counts -> compaction round counts.
-    # Chunked over items so the (chunk, n_sub, T) incidence mask stays
-    # bounded; XLA fuses the compare+reduce per chunk.
+    # Computed once per INSTANCE as a batched MXU contraction over lanes:
+    # counts_i[i, r, x] = sum_t yhit[i, r, t] * xhit[i, x, t]. The 0/1
+    # factors are bf16-exact and the f32 accumulator is exact to 2^24, so
+    # the counts are exact. Work items then pick their (row-range, column)
+    # with one-hot f32 multiplies (also exact). This replaces a
+    # per-work-item (max_work, n_sub, T) compare/reduce sweep whose cost
+    # scaled with the work-list capacity instead of the instance count.
     n_sub = tile // sub_h
+    SR = tiles_y * n_sub
     cols = packed.tri_cols
-    chunk = 256
-    while max_work % chunk:
-        chunk //= 2
-    n_chunks = max_work // chunk
-
-    def cnt_chunk(args):
-        isel, txc, tyc = args
-        cc = cols[isel]                            # (chunk, 8, T)
-        xh = (
-            (cc[:, _C_X0] <= txc[:, None] + (tile - 1))
-            & (cc[:, _C_X1] >= txc[:, None])
-            & (cc[:, _C_VALID] > 0.0)
-        )                                          # (chunk, T)
-        sidx = jnp.arange(n_sub, dtype=jnp.float32)
-        sy0 = tyc[:, None] + sidx[None, :] * sub_h  # (chunk, n_sub)
-        mm = (
-            (cc[:, _C_Y0][:, None, :] <= sy0[..., None] + (sub_h - 1))
-            & (cc[:, _C_Y1][:, None, :] >= sy0[..., None])
-            & xh[:, None, :]
-        )                                          # (chunk, n_sub, T)
-        return jnp.sum(mm.astype(jnp.int32), axis=-1)
-
-    counts = jax.lax.map(
-        cnt_chunk,
-        (
-            inst_sel.reshape(n_chunks, chunk),
-            tx0.reshape(n_chunks, chunk),
-            ty0.reshape(n_chunks, chunk),
-        ),
-    ).reshape(max_work, n_sub)                     # (W, n_sub)
+    validt = cols[:, _C_VALID] > 0.0
+    txs = jnp.arange(tiles_x, dtype=jnp.float32)[None, :, None] * tile
+    xh = (
+        (cols[:, _C_X0][:, None, :] <= txs + (tile - 1))
+        & (cols[:, _C_X1][:, None, :] >= txs)
+        & validt[:, None, :]
+    )                                              # (I, tiles_x, T)
+    srs = jnp.arange(SR, dtype=jnp.float32)[None, :, None] * sub_h
+    yh = (
+        (cols[:, _C_Y0][:, None, :] <= srs + (sub_h - 1))
+        & (cols[:, _C_Y1][:, None, :] >= srs)
+    )                                              # (I, SR, T)
+    counts_i = jax.lax.dot_general(
+        yh.astype(jnp.bfloat16), xh.astype(jnp.bfloat16),
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # (I, SR, tiles_x)
+    ci = counts_i[inst_sel]                        # (W, SR, tiles_x)
+    oh_tx = (
+        jnp.arange(tiles_x, dtype=jnp.int32)[None, :]
+        == (w_st % tiles_x)[:, None]
+    )
+    g = jnp.sum(jnp.where(oh_tx[:, None, :], ci, 0.0), axis=2)  # (W, SR)
+    rows = (
+        (w_st // tiles_x)[:, None] * n_sub
+        + jnp.arange(n_sub, dtype=jnp.int32)[None, :]
+    )                                              # (W, n_sub)
+    oh_r = rows[:, :, None] == jnp.arange(SR, dtype=jnp.int32)[None, None, :]
+    counts = jnp.sum(
+        jnp.where(oh_r, g[:, None, :], 0.0), axis=2
+    ).astype(jnp.int32)                            # (W, n_sub)
     rounds = jnp.where(
         item_valid[:, None], -(-counts // compact_k), 0
     ).astype(jnp.int32)

@@ -132,8 +132,12 @@ def vertex_stage(
     shadow_field: jnp.ndarray,     # (Ht, Wt) in [0,1]
     max_height: jnp.ndarray,       # scalar
     lod_ranges: jnp.ndarray,       # (max_lods,)
+    nrm_field: jnp.ndarray | None = None,  # precomputed normal_fields()
 ) -> VertexOutput:
-    """Fast (gather-free) vertex stage for all instances at once."""
+    """Fast (gather-free) vertex stage for all instances at once.
+
+    nrm_field: pass normal_fields(heightmap) precomputed once per
+    heightmap (it is static per texture; Renderer caches it)."""
     S = settings.verts_per_side
     world = float(settings.world_size)
     gs = float(settings.grid_size)
@@ -150,13 +154,20 @@ def vertex_stage(
     # rasterizer; bf16 quantization is meters of terrain error). The
     # visual channels (albedo, shadow, normal field) tolerate the default
     # bf16 MXU pass (~0.4% relative) — half the sampling MXU cost, and
-    # identical on the f32 CPU/test path.
-    nrm_field = normal_fields(heightmap)
+    # identical on the f32 CPU/test path. They are stacked into ONE
+    # 7-channel texture so the whole visual set costs a single separable
+    # matmul pair instead of three.
+    if nrm_field is None:
+        nrm_field = normal_fields(heightmap)
     h = texture.sample_separable(heightmap, u, v)                  # (I,S,S)
     vis = jax.lax.Precision.DEFAULT
-    alb = texture.sample_separable(albedo, u, v, precision=vis)    # (I,S,S,3)
-    nrm = texture.sample_separable(nrm_field, u, v, precision=vis)  # (I,S,S,3)
-    shad = texture.sample_separable(shadow_field, u, v, precision=vis)
+    vis_tex = jnp.concatenate(
+        [albedo, nrm_field, shadow_field[..., None]], axis=-1
+    )                                                              # (H,W,7)
+    vis_s = texture.sample_separable(vis_tex, u, v, precision=vis)
+    alb = vis_s[..., 0:3]
+    nrm = vis_s[..., 3:6]
+    shad = vis_s[..., 6]
 
     # per-vertex morph factor from the UNmorphed position (terrain_vs.hlsl:46)
     wx = jnp.broadcast_to(ux[:, None, :], (ux.shape[0], S, S))  # (I, r=z, c=x)

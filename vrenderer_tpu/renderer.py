@@ -104,7 +104,16 @@ class Renderer:
         interpret: bool = False,
         max_work: int = 2048,
         scene: Any = None,
+        max_active: Optional[int] = None,
     ):
+        """max_active: render-budget cap on instances per frame. Selection
+        still runs at max_instances capacity, but only the first
+        max_active (selection compacts valid nodes to the front) feed the
+        vertex/setup/pack/raster pipeline — the TPU analog of the
+        reference's drawIndexed(6144, numNodes) doing GPU work
+        proportional to the SELECTED count rather than the 4096-slot
+        buffer capacity (TerrainPass.cpp:215-222). Frames that select
+        more than max_active raise FrameOutput.overflow."""
         self.config = config
         if heightmap is None:
             # missing-texture fallback: the reference warns and binds a
@@ -121,112 +130,164 @@ class Renderer:
         self.raster_backend = raster_backend
         self.interpret = interpret
         self.max_work = max_work
-        _, self.tri_indices = gridmod.make_grid(config.terrain.grid_size)
-        self._scene_world, self._scene_attrs, self._scene_tri_idx = (
-            self._prepare_scene(scene)
+        self.max_active = min(
+            max_active or config.terrain.max_instances,
+            config.terrain.max_instances,
         )
+        # static per heightmap: the PS's uv±0.1 central-difference normal
+        # taps (terrain_ps.hlsl:59-63) as a precomputed field
+        self._nrm_field = vertex.normal_fields(self.heightmap)
+        _, self.tri_indices = gridmod.make_grid(config.terrain.grid_size)
+        self._prepare_scene(scene)
         self._frame_jit = jax.jit(self._frame)
 
     def _prepare_scene(self, scene):
         """Chunk scene meshes into raster blocks (the reference's
-        'GBuffer fill' geometry, Renderer.cpp:384-399). Static per
-        renderer; scene edits rebuild (the reference re-refreshes buffers
-        each frame, Renderer.cpp:328-331 — cheap here too if needed)."""
+        'GBuffer fill' geometry, Renderer.cpp:384-399). Geometry stays
+        OBJECT-space; per-instance transforms live in the mutable
+        ``scene_transforms`` (N, 4, 3) array, traced as a jit argument
+        and applied per frame by _scene_blocks — the analog of the
+        reference's per-frame Scene::RefreshSceneGraph/RefreshBuffers
+        (Renderer.cpp:204, 328-331): moving an instance is an array
+        update, never a rebuild or recompile. Topology changes (add or
+        remove instances) still rebuild the Renderer."""
         if scene is None or not scene.instances:
-            return None, None, None
+            self.scene_transforms = None
+            self._scene_obj = self._scene_obj_nrm = None
+            self._scene_col = self._scene_block_inst = None
+            self._scene_tri_idx = None
+            return
         from vrenderer_tpu.models import mesh as meshmod
 
         tpb = self.config.terrain.tris_per_instance
-        worlds, attrs = [], []
+        objs, nrms, cols, block_inst = [], [], [], []
         tri_idx = None
-        for inst in scene.instances:
-            m = meshmod.transform_mesh(inst.mesh, inst.transform)
+        for k, inst in enumerate(scene.instances):
             w, a, tri_idx, _ = meshmod.mesh_to_blocks(
-                m, tpb, jnp.float32(400.0)
+                inst.mesh, tpb, jnp.float32(400.0)
             )
-            worlds.append(w)
-            attrs.append(a)
-        return (
-            jnp.concatenate(worlds), jnp.concatenate(attrs), tri_idx,
+            objs.append(w)
+            cols.append(a[..., 0:3])
+            nrms.append(a[..., 3:6])
+            block_inst += [k] * w.shape[0]
+        self._scene_obj = jnp.concatenate(objs)
+        self._scene_obj_nrm = jnp.concatenate(nrms)
+        self._scene_col = jnp.concatenate(cols)
+        self._scene_block_inst = jnp.asarray(block_inst, jnp.int32)
+        self._scene_tri_idx = tri_idx
+        self.scene_transforms = jnp.stack(
+            [jnp.asarray(i.transform, jnp.float32)
+             for i in scene.instances]
         )
+
+    def _scene_blocks(self, scene_xf, max_height):
+        """Apply traced per-instance transforms to the object-space scene
+        blocks: (world (B, V, 3), attrs (B, V, 8)). Row-vector math:
+        p' = p @ L + t; normals n' = n @ inv(L)^T (rotation +
+        non-uniform scale safe). The per-frame 'Scene Refresh' cost
+        (Renderer.cpp:328-331) — a few thousand vertices, negligible."""
+        M = scene_xf[self._scene_block_inst]          # (B, 4, 3)
+        L = M[:, :3, :]
+        world = (
+            jnp.einsum("bvc,bcd->bvd", self._scene_obj, L)
+            + M[:, 3][:, None, :]
+        )
+        l_inv_t = jnp.transpose(jnp.linalg.inv(L), (0, 2, 1))
+        nrm = math3d.normalize(
+            jnp.einsum("bvc,bcd->bvd", self._scene_obj_nrm, l_inv_t)
+        )
+        h01 = world[..., 1] / jnp.maximum(max_height, 1e-6)
+        attrs = jnp.concatenate(
+            [self._scene_col, nrm, jnp.ones_like(h01)[..., None],
+             h01[..., None]], axis=-1,
+        )
+        return world, attrs
 
     # -- passes ------------------------------------------------------------
 
     def _terrain_pass(self, vc: Dict[str, jnp.ndarray], params: FrameParams,
                       shadow_field: jnp.ndarray, instances=None,
-                      mesh_shadow_fn=None):
+                      mesh_shadow_fn=None, band=None, scene_wa=None):
         """Select -> vertex -> setup -> rasterize. Returns raster products.
         A precomputed instance set freezes selection (lock-view).
         ``mesh_shadow_fn`` maps scene vertex positions (B, V, 3) to shadow
         factors (B, V) — how scene meshes RECEIVE shadows (the reference
         PCF-samples the shadow map for every G-buffer pixel including
-        mesh pixels, Renderer.cpp:417-428)."""
+        mesh pixels, Renderer.cpp:417-428).
+        ``band``: optional (y0 traced, band_h static) — rasterize only the
+        horizontal screen band [y0, y0+band_h) of the SAME full-frame
+        projection (the sharded screen-band path; parallel/sharded.py).
+        ``scene_wa``: (world, attrs) scene blocks from _scene_blocks —
+        scene meshes ("GBuffer fill" geometry) ride the same raster as
+        extra instance blocks."""
         cfg = self.config
         ts = cfg.terrain
+        y0 = None
+        out_h = cfg.height
+        if band is not None:
+            y0, out_h = band
+            y0 = jnp.asarray(y0, jnp.float32)
         if instances is None:
             planes = math3d.frustum_planes(vc["world_to_clip"])
             instances = quadtree.select_all_surfaces(
                 ts, vc["camera_pos"], planes, ts.lod_ranges()
             )
+        instances = self._clip_active(instances)
         vout = vertex.vertex_stage(
             ts, instances, vc["camera_pos"], self.heightmap, self.albedo,
             shadow_field, params.max_height, ts.lod_ranges(),
+            nrm_field=self._nrm_field,
         )
-        setup = raster.setup_triangles(
-            vout.world, vout.attrs, instances.valid, self.tri_indices,
-            vc["world_to_clip"], cfg.width, cfg.height,
-        )
+        s_world = s_attrs = None
         n_scene = 0
-        if self._scene_world is not None:
-            # scene meshes ("GBuffer fill" geometry) ride the same raster
-            # as extra instance blocks
-            n_scene = self._scene_world.shape[0]
-            s_attrs = self._scene_attrs
+        if scene_wa is not None:
+            s_world, s_attrs = scene_wa
+            n_scene = s_world.shape[0]
             if mesh_shadow_fn is not None:
-                shad = mesh_shadow_fn(self._scene_world)
+                shad = mesh_shadow_fn(s_world)
                 s_attrs = s_attrs.at[..., vertex.ATTR_SHADOW].set(shad)
-            s_setup = raster.setup_triangles(
-                self._scene_world, s_attrs,
-                jnp.ones((n_scene,), bool), self._scene_tri_idx,
-                vc["world_to_clip"], cfg.width, cfg.height,
-            )
-            setup = raster.TriSetup(
-                edge=jnp.concatenate([setup.edge, s_setup.edge]),
-                planes=jnp.concatenate([setup.planes, s_setup.planes]),
-                bbox=jnp.concatenate([setup.bbox, s_setup.bbox]),
-                valid=jnp.concatenate([setup.valid, s_setup.valid]),
-            )
         wire_px = 1.0 if cfg.raster.wireframe else 0.0
         if self.raster_backend == "xla":
+            setup = raster.setup_triangles(
+                vout.world, vout.attrs, instances.valid, self.tri_indices,
+                vc["world_to_clip"], cfg.width, cfg.height,
+            )
+            if n_scene:
+                s_setup = raster.setup_triangles(
+                    s_world, s_attrs,
+                    jnp.ones((n_scene,), bool), self._scene_tri_idx,
+                    vc["world_to_clip"], cfg.width, cfg.height,
+                )
+                setup = raster.TriSetup(
+                    edge=jnp.concatenate([setup.edge, s_setup.edge]),
+                    planes=jnp.concatenate([setup.planes, s_setup.planes]),
+                    bbox=jnp.concatenate([setup.bbox, s_setup.bbox]),
+                    valid=jnp.concatenate([setup.valid, s_setup.valid]),
+                )
+            if band is not None:
+                setup = raster.shift_setup_y(setup, y0)
+                ph = -(-out_h // cfg.raster.subtile_h) * cfg.raster.subtile_h
+            else:
+                ph = cfg.padded_height
             z, prim_id, attrs = raster.rasterize_xla(
-                setup, cfg.padded_width, cfg.padded_height,
+                setup, cfg.padded_width, ph,
                 tile=(cfg.raster.subtile_h, 128),
                 batch=cfg.raster.tri_batch,
                 reverse_z=cfg.raster.reverse_z,
                 wire_px=wire_px,
             )
-            z = z[:cfg.height, :cfg.width]
-            prim_id = prim_id[:cfg.height, :cfg.width]
-            attrs = attrs[:cfg.height, :cfg.width]
+            z = z[:out_h, :cfg.width]
+            prim_id = prim_id[:out_h, :cfg.width]
+            attrs = attrs[:out_h, :cfg.width]
         else:
-            packed = raster_pallas.pack_tri_data(
-                setup, ts.max_instances + n_scene, ts.tris_per_instance,
-                tri_batch=cfg.raster.tri_batch,
+            packed, bbox, usable, dist = self._packed_geometry(
+                vout.world, vout.attrs, instances.valid,
+                vc["world_to_clip"], cfg.width, cfg.height,
+                scene_wa=None if n_scene == 0 else (s_world, s_attrs),
+                y0=y0,
             )
-            bbox, usable, dist = raster_pallas.instance_screen_bbox(
-                vout.world, vc["world_to_clip"], cfg.width, cfg.height,
-                instances.valid,
-            )
-            if n_scene:
-                s_bbox, s_usable, s_dist = raster_pallas.instance_screen_bbox(
-                    self._scene_world, vc["world_to_clip"],
-                    cfg.width, cfg.height, jnp.ones((n_scene,), bool),
-                )
-                bbox = jnp.concatenate([bbox, s_bbox])
-                usable = jnp.concatenate([usable, s_usable])
-                dist = jnp.concatenate([dist, s_dist])
             work = raster_pallas.build_work_list(
-                bbox, usable, cfg.width, cfg.height,
+                bbox, usable, cfg.width, out_h,
                 tile=cfg.raster.tile_w,
                 tris_per_inst=ts.tris_per_instance,
                 max_work=self.max_work,
@@ -236,7 +297,7 @@ class Renderer:
                 compact_k=cfg.raster.compact_k,
             )
             z, prim_id, attrs, _ = raster_pallas.rasterize_pallas(
-                packed, work, cfg.width, cfg.height,
+                packed, work, cfg.width, out_h,
                 tile=cfg.raster.tile_w, sub_h=cfg.raster.subtile_h,
                 compact_k=cfg.raster.compact_k,
                 reverse_z=cfg.raster.reverse_z,
@@ -247,11 +308,81 @@ class Renderer:
             return z, prim_id, attrs, instances, work.num_items
         return z, prim_id, attrs, instances, jnp.int32(0)
 
-    def _view_rays(self, vc: Dict[str, jnp.ndarray]):
-        """Unit world-space rays through every pixel (for sky + specular)."""
+    def _clip_active(self, instances):
+        """Slice selection output to the render budget (selection packs
+        valid nodes to the front, so a prefix slice is exact)."""
+        ia = self.max_active
+        if ia >= instances.valid.shape[0]:
+            return instances
+        return quadtree.SelectedInstances(
+            position=instances.position[:ia],
+            extents=instances.extents[:ia],
+            lod=instances.lod[:ia],
+            valid=instances.valid[:ia],
+            count=instances.count,
+        )
+
+    def _packed_geometry(self, world, attrs, inst_valid, wtc, width, height,
+                         scene_wa=None, y0=None):
+        """Fused component-form setup + pack for terrain (+ scene blocks):
+        PackedTris, instance bbox, usable mask, camera distance. Never
+        materializes a stacked TriSetup (see raster.TriComponents).
+
+        y0 (traced, optional): rebase all screen-space coefficients to a
+        horizontal band starting at global row y0 (the sharded screen-band
+        path); width/height stay the FULL frame for the viewport mapping.
+        """
+        cfg = self.config
+
+        def one(world_, attrs_, valid_, tri_idx):
+            comp = raster.setup_components(
+                world_, attrs_, valid_, tri_idx, wtc, width, height,
+            )
+            bbox, usable, dist = raster_pallas.instance_bbox_components(
+                comp, width, height, valid_,
+            )
+            if y0 is not None:
+                bbox = bbox.at[:, 1].add(-y0)
+                bbox = bbox.at[:, 3].add(-y0)
+                comp = raster.shift_components_y(comp, y0)
+            packed = raster_pallas.pack_components(
+                comp, tri_batch=cfg.raster.tri_batch
+            )
+            return packed, bbox, usable, dist
+
+        packed, bbox, usable, dist = one(
+            world, attrs, inst_valid, self.tri_indices
+        )
+        if scene_wa is not None:
+            s_world, s_attrs = scene_wa
+            n_scene = s_world.shape[0]
+            s_packed, s_bbox, s_usable, s_dist = one(
+                s_world, s_attrs, jnp.ones((n_scene,), bool),
+                self._scene_tri_idx,
+            )
+            packed = raster_pallas.PackedTris(
+                tri_data=jnp.concatenate([packed.tri_data, s_packed.tri_data]),
+                tri_cols=jnp.concatenate([packed.tri_cols, s_packed.tri_cols]),
+                batch_meta=jnp.concatenate(
+                    [packed.batch_meta, s_packed.batch_meta]
+                ),
+            )
+            bbox = jnp.concatenate([bbox, s_bbox])
+            usable = jnp.concatenate([usable, s_usable])
+            dist = jnp.concatenate([dist, s_dist])
+        return packed, bbox, usable, dist
+
+    def _view_rays(self, vc: Dict[str, jnp.ndarray], band=None):
+        """Unit world-space rays through every pixel (for sky + specular).
+        band=(y0, band_h): rays for the band's rows of the full frame."""
         cfg = self.config
         x = (jnp.arange(cfg.width, dtype=jnp.float32) + 0.5) / cfg.width
-        y = (jnp.arange(cfg.height, dtype=jnp.float32) + 0.5) / cfg.height
+        if band is not None:
+            y0, band_h = band
+            y = (jnp.arange(band_h, dtype=jnp.float32) + 0.5
+                 + jnp.asarray(y0, jnp.float32)) / cfg.height
+        else:
+            y = (jnp.arange(cfg.height, dtype=jnp.float32) + 0.5) / cfg.height
         ndc_x = x * 2.0 - 1.0
         ndc_y = 1.0 - y * 2.0
         xx, yy = jnp.meshgrid(ndc_x, ndc_y, indexing="xy")
@@ -267,28 +398,50 @@ class Renderer:
 
     # -- frame -------------------------------------------------------------
 
-    def _frame(self, camera: Camera, params: FrameParams) -> FrameOutput:
-        return self._frame_impl(camera, params, None)
+    def _frame(self, camera: Camera, params: FrameParams,
+               scene_xf=None) -> FrameOutput:
+        return self._frame_impl(camera, params, None, scene_xf=scene_xf)
 
     def _frame_with_instances(self, camera: Camera, params: FrameParams,
-                              instances) -> FrameOutput:
-        return self._frame_impl(camera, params, instances)
+                              instances, scene_xf=None) -> FrameOutput:
+        return self._frame_impl(camera, params, instances,
+                                scene_xf=scene_xf)
 
     def _frame_adaptive(self, camera: Camera, params: FrameParams,
-                        adapted_lum: jnp.ndarray, dt: jnp.ndarray):
+                        adapted_lum: jnp.ndarray, dt: jnp.ndarray,
+                        scene_xf=None):
         """Frame with eye adaptation: returns (FrameOutput, new_adapted_lum).
         Reference: tonemap auto-exposure advanced per frame
         (m_ToneMappingPass->AdvanceFrame(seconds), Renderer.cpp:188-189)."""
         return self._frame_impl(camera, params, None,
-                                adapt=(adapted_lum, dt))
+                                adapt=(adapted_lum, dt),
+                                scene_xf=scene_xf)
 
     def _frame_impl(self, camera: Camera, params: FrameParams,
-                    lock_instances, adapt=None):
+                    lock_instances, adapt=None, band=None, axis_name=None,
+                    scene_xf=None):
+        """The one frame path (reference: the single RecordCommand,
+        Renderer.cpp:321-446). ``band=(y0, band_h)`` renders only a
+        horizontal screen band of the same frame — the sharded path calls
+        THIS function per device, so every feature (scene meshes, both
+        shadow modes, params gates, adaptation) behaves identically to
+        the single-chip frame. ``axis_name``: mesh axis to psum image
+        reductions (eye adaptation) over when banded. ``scene_xf``:
+        traced per-instance scene transforms; defaults to the renderer's
+        current scene_transforms."""
         cfg = self.config
         vc = make_view_constants(
             camera, cfg.width, cfg.height, cfg.vfov_degrees,
             cfg.z_near, cfg.z_far,
         )
+
+        # "Scene Refresh" (Renderer.cpp:328-331): object-space scene
+        # blocks -> world via the traced transforms, every frame
+        scene_wa = None
+        if self._scene_obj is not None:
+            if scene_xf is None:
+                scene_xf = self.scene_transforms
+            scene_wa = self._scene_blocks(scene_xf, params.max_height)
 
         # "Terrain Shadow" phase: shadow field over the world + mesh
         # receiver factors. Two modes (cfg.shadow_mode):
@@ -304,7 +457,7 @@ class Renderer:
         shadow_overflow = jnp.int32(0)
         if cfg.shadow_mode == "map":
             depth_map, wtc_l, z_range, shadow_items = self._light_depth_pass(
-                params, vc["camera_pos"]
+                params, vc["camera_pos"], scene_wa=scene_wa
             )
             shadow_overflow = (shadow_items > self.max_work).astype(
                 jnp.int32
@@ -318,15 +471,15 @@ class Renderer:
             shadow_field = shadow.shadow_factors_from_map(
                 depth_map, wtc_l, z_range, pts
             ).reshape(Ht, Wt)
-            if self._scene_world is not None:
+            if scene_wa is not None:
                 def mesh_shadow_fn(w):
                     return shadow.shadow_factors_from_map(
                         depth_map, wtc_l, z_range, w.reshape(-1, 3)
                     ).reshape(w.shape[:2])
-        elif self._scene_world is not None:
+        elif scene_wa is not None:
             mesh_top = shadow.mesh_top_field(
-                self._scene_world,
-                jnp.ones((self._scene_world.shape[0],), bool),
+                scene_wa[0],
+                jnp.ones((scene_wa[0].shape[0],), bool),
                 world_size, self.heightmap.shape[0],
             )
             shadow_field, sline = shadow.horizon_shadow_field(
@@ -351,7 +504,7 @@ class Renderer:
         # "Terrain": geometry + visibility + interpolated G-buffer attrs
         z, prim_id, attrs, instances, n_work = self._terrain_pass(
             vc, params, shadow_field, lock_instances,
-            mesh_shadow_fn=mesh_shadow_fn,
+            mesh_shadow_fn=mesh_shadow_fn, band=band, scene_wa=scene_wa,
         )
         covered = (prim_id >= 0) & (params.render_terrain > 0.5)
 
@@ -359,7 +512,7 @@ class Renderer:
         normal = attrs[..., vertex.ATTR_NORMAL]
         shadow_px = jnp.clip(attrs[..., vertex.ATTR_SHADOW], 0.0, 1.0)
 
-        rays = self._view_rays(vc)
+        rays = self._view_rays(vc, band=band)
 
         # "Deferred Lighting"
         hdr = lighting.deferred_lighting(
@@ -374,7 +527,7 @@ class Renderer:
         if adapt is not None:
             adapted_lum, dt = adapt
             new_adapted, scale = lighting.adapt_exposure(
-                hdr, covered, adapted_lum, dt
+                hdr, covered, adapted_lum, dt, axis_name=axis_name
             )
             exposure = exposure * scale
         ldr_linear = lighting.tonemap(hdr, exposure)
@@ -409,7 +562,7 @@ class Renderer:
             num_work_items=n_work,
             overflow=(
                 (n_work > self.max_work)
-                | (instances.count > cfg.terrain.max_instances)
+                | (instances.count > self.max_active)
                 | (shadow_overflow > 0)
             ),
         )
@@ -421,17 +574,35 @@ class Renderer:
                ) -> FrameOutput:
         if params is None:
             params = FrameParams.default(self.light)
-        return self._frame_jit(camera, params)
+        # scene_transforms ride as a traced jit ARGUMENT (None when no
+        # scene): editing them re-renders without recompiling
+        return self._frame_jit(camera, params, self.scene_transforms)
 
     def render_adaptive(self, camera: Camera, params: FrameParams,
-                        adapted_lum, dt):
+                        adapted_lum, dt, instances=None):
         """Render with eye adaptation; thread the returned adapted
         luminance into the next call (seed: lighting.adapt_exposure's
-        clamp midpoint, e.g. 0.5). Returns (FrameOutput, adapted_lum)."""
+        clamp midpoint, e.g. 0.5). Returns (FrameOutput, adapted_lum).
+        ``instances``: optional frozen selection (lock-view) — adaptation
+        and lock compose, as every Animate feature does in the
+        reference's single loop (Renderer.cpp:188-204)."""
+        if instances is not None:
+            if not hasattr(self, "_frame_adaptive_locked_jit"):
+                self._frame_adaptive_locked_jit = jax.jit(
+                    lambda c, p, i, a, d, xf: self._frame_impl(
+                        c, p, i, adapt=(a, d), scene_xf=xf
+                    )
+                )
+            return self._frame_adaptive_locked_jit(
+                camera, params, instances,
+                jnp.float32(adapted_lum), jnp.float32(dt),
+                self.scene_transforms,
+            )
         if not hasattr(self, "_frame_adaptive_jit"):
             self._frame_adaptive_jit = jax.jit(self._frame_adaptive)
         return self._frame_adaptive_jit(
-            camera, params, jnp.float32(adapted_lum), jnp.float32(dt)
+            camera, params, jnp.float32(adapted_lum), jnp.float32(dt),
+            self.scene_transforms,
         )
 
     # -- editor-parity APIs -------------------------------------------------
@@ -471,7 +642,8 @@ class Renderer:
         but LOD selection stays fixed."""
         if not hasattr(self, "_frame_locked_jit"):
             self._frame_locked_jit = jax.jit(self._frame_with_instances)
-        return self._frame_locked_jit(camera, params, instances)
+        return self._frame_locked_jit(camera, params, instances,
+                                      self.scene_transforms)
 
     def reload_pipelines(self):
         """Shader-hot-reload analog (reference: m_ShaderReoladRequested ->
@@ -485,7 +657,8 @@ class Renderer:
     # -- shadow-map fill pass (reference "Terrain Shadow" counter) ---------
 
     def _light_depth_pass(self, params: FrameParams,
-                          camera_pos: Optional[jnp.ndarray] = None):
+                          camera_pos: Optional[jnp.ndarray] = None,
+                          scene_wa=None):
         """Depth-only raster of terrain + scene meshes from the sun's
         ortho view on the Pallas kernel — the reference's shadow phase
         (TerrainPass depth-only, Renderer.cpp:354-367, plus the scene
@@ -514,48 +687,38 @@ class Renderer:
         instances = quadtree.select_all_surfaces(
             ts, camera_pos, planes, ts.lod_ranges()
         )
+        instances = self._clip_active(instances)
         shadow_field = jnp.ones_like(self.heightmap)
         vout = vertex.vertex_stage(
             ts, instances, camera_pos, self.heightmap, self.albedo,
             shadow_field, params.max_height, ts.lod_ranges(),
+            nrm_field=self._nrm_field,
         )
-        setup = raster.setup_triangles(
-            vout.world, vout.attrs, instances.valid, self.tri_indices,
-            wtc, res, res,
-        )
-        world_pts = vout.world
-        n_scene = 0
-        if self._scene_world is not None:
-            n_scene = self._scene_world.shape[0]
-            s_setup = raster.setup_triangles(
-                self._scene_world, self._scene_attrs,
-                jnp.ones((n_scene,), bool), self._scene_tri_idx,
+        if self.raster_backend == "xla":
+            setup = raster.setup_triangles(
+                vout.world, vout.attrs, instances.valid, self.tri_indices,
                 wtc, res, res,
             )
-            setup = raster.TriSetup(
-                edge=jnp.concatenate([setup.edge, s_setup.edge]),
-                planes=jnp.concatenate([setup.planes, s_setup.planes]),
-                bbox=jnp.concatenate([setup.bbox, s_setup.bbox]),
-                valid=jnp.concatenate([setup.valid, s_setup.valid]),
-            )
-        if self.raster_backend == "xla":
+            if scene_wa is not None:
+                s_world, s_attrs = scene_wa
+                n_scene = s_world.shape[0]
+                s_setup = raster.setup_triangles(
+                    s_world, s_attrs,
+                    jnp.ones((n_scene,), bool), self._scene_tri_idx,
+                    wtc, res, res,
+                )
+                setup = raster.TriSetup(
+                    edge=jnp.concatenate([setup.edge, s_setup.edge]),
+                    planes=jnp.concatenate([setup.planes, s_setup.planes]),
+                    bbox=jnp.concatenate([setup.bbox, s_setup.bbox]),
+                    valid=jnp.concatenate([setup.valid, s_setup.valid]),
+                )
             z, _, _ = raster.rasterize_xla(setup, res, res)
             return z, wtc, z_range, jnp.int32(0)
-        packed = raster_pallas.pack_tri_data(
-            setup, ts.max_instances + n_scene, ts.tris_per_instance,
-            tri_batch=cfg.raster.tri_batch,
+        packed, bbox, usable, dist = self._packed_geometry(
+            vout.world, vout.attrs, instances.valid, wtc, res, res,
+            scene_wa=scene_wa,
         )
-        bbox, usable, dist = raster_pallas.instance_screen_bbox(
-            world_pts, wtc, res, res, instances.valid,
-        )
-        if n_scene:
-            s_bbox, s_usable, s_dist = raster_pallas.instance_screen_bbox(
-                self._scene_world, wtc, res, res,
-                jnp.ones((n_scene,), bool),
-            )
-            bbox = jnp.concatenate([bbox, s_bbox])
-            usable = jnp.concatenate([usable, s_usable])
-            dist = jnp.concatenate([dist, s_dist])
         work = raster_pallas.build_work_list(
             bbox, usable, res, res, tile=cfg.raster.tile_w,
             tris_per_inst=ts.tris_per_instance, max_work=self.max_work,
@@ -576,7 +739,11 @@ class Renderer:
         if params is None:
             params = FrameParams.default(self.light)
         if not hasattr(self, "_light_depth_jit"):
-            self._light_depth_jit = jax.jit(
-                lambda p: self._light_depth_pass(p)[0]
-            )
-        return self._light_depth_jit(params)
+            def depth_only(p, xf):
+                wa = None
+                if self._scene_obj is not None:
+                    wa = self._scene_blocks(xf, p.max_height)
+                return self._light_depth_pass(p, scene_wa=wa)[0]
+
+            self._light_depth_jit = jax.jit(depth_only)
+        return self._light_depth_jit(params, self.scene_transforms)
