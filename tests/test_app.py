@@ -97,3 +97,58 @@ def test_pass_timer_args_are_jit_inputs_not_constants():
     # the chained runner takes args as parameters (no closure constants)
     f = t._chain(lambda a: a + 1.0, 2)
     assert float(f(jnp.float32(1.0))) != 0.0
+
+
+def test_flythrough_adaptation_default_on():
+    """VERDICT r2 next #6: the real loop drives eye adaptation by
+    default. A bright scene seeded at the 0.5 midpoint adapts
+    monotonically upward across the flythrough."""
+    import jax.numpy as jnp
+
+    from vrenderer_tpu.camera import Camera, flythrough
+
+    app = App(CFG, heightmap_resolution=64, raster_backend="xla")
+    app.params = app.params._replace(
+        max_height=jnp.float32(12.0), light_irradiance=jnp.float32(20.0)
+    )
+    outs = app.run_flythrough(num_frames=4, dt=0.25)
+    assert len(outs) == 4
+    hist = app.adapt_history
+    assert len(hist) == 4
+    # the loop threads the carry: history equals a manually-threaded
+    # render_adaptive chain over the same cameras
+    cams = flythrough(4, world_size=app.config.terrain.world_size,
+                      heightmap=app.heightmap, max_height=12.0)
+    lum = 0.5
+    for i in range(4):
+        cam = Camera(eye=cams.eye[i], target=cams.target[i],
+                     up=cams.up[i])
+        _, lum = app.renderer.render_adaptive(cam, app.params, lum, 0.25)
+        np.testing.assert_allclose(hist[i], float(np.asarray(lum)),
+                                   rtol=1e-6)
+    # and the eye actually adapted away from the seed
+    assert abs(hist[-1] - 0.5) > 1e-3
+    # opt-out path records no history and leaves exposure fixed
+    app2 = App(CFG, heightmap_resolution=64, raster_backend="xla")
+    app2.params = app.params
+    app2.run_flythrough(num_frames=2, adapt=False)
+    assert app2.adapt_history == []
+
+
+def test_flythrough_pipelining_order_and_outputs(tmp_path):
+    """Frames retire in order with <=2 in flight (frameLatency=2 analog);
+    PNGs and outputs must match the frame schedule."""
+    import jax.numpy as jnp
+
+    app = App(CFG, heightmap_resolution=64, raster_backend="xla")
+    app.params = app.params._replace(max_height=jnp.float32(12.0))
+    outs = app.run_flythrough(
+        num_frames=3, dump_dir=str(tmp_path), adapt=False,
+        frames_in_flight=2,
+    )
+    assert len(outs) == 3
+    for i in range(3):
+        assert os.path.exists(tmp_path / f"frame_{i:04d}.png")
+    # Wait GPU scopes recorded (the real fetch stall)
+    names = [e["name"] for f in app.profiler.frames for e in f["events"]]
+    assert "Wait GPU" in names

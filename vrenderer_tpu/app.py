@@ -87,22 +87,34 @@ class App:
         num_frames: int = 8,
         dump_dir: Optional[str] = None,
         trace_path: Optional[str] = None,
+        adapt: bool = True,
+        dt: float = 1.0 / 60.0,
+        frames_in_flight: int = 2,
     ):
+        """Scripted flythrough with the reference's loop behaviors:
+
+        * eye adaptation advances every frame by default (opt out with
+          adapt=False) — the tonemapper's AdvanceFrame in Animate,
+          Renderer.cpp:188-189; ``dt`` is the adaptation timestep.
+        * frame pipelining: frame N+1 is DISPATCHED before frame N's
+          results are fetched, keeping up to ``frames_in_flight`` frames
+          in flight (the reference's frameLatency=2, main.cpp:70). The
+          adaptation carry stays on-device, so dispatch never blocks on
+          the previous frame; "Wait GPU" measures the real fetch stall.
+        """
         cams = flythrough(
             num_frames, world_size=self.config.terrain.world_size,
             heightmap=self.heightmap,
             max_height=float(np.asarray(self.params.max_height)),
         )
+        adapted_lum = jnp.float32(0.5)
+        lum_trace = []   # per-frame device scalars; fetched once at end
+        in_flight = []   # (frame index, FrameOutput) awaiting retire
         outputs = []
-        for i in range(num_frames):
-            self.profiler.begin_frame()
-            cam = Camera(
-                eye=cams.eye[i], target=cams.target[i], up=cams.up[i]
-            )
-            with self.profiler.scope("Render"):
-                out = self.renderer.render(cam, self.params)
-                with self.profiler.scope("Wait GPU"):
-                    jax.block_until_ready(out.ldr)
+
+        def retire(i, out):
+            with self.profiler.scope("Wait GPU"):
+                ldr = np.asarray(out.ldr)
             if bool(np.asarray(out.overflow)):
                 # the reference asserts on instance overflow
                 # (TerrainPass.cpp:238); report loudly instead of
@@ -118,13 +130,36 @@ class App:
                 )
             if dump_dir is not None:
                 with self.profiler.scope("Present"):
-                    write_png(
-                        f"{dump_dir}/frame_{i:04d}.png", np.asarray(out.ldr)
-                    )
-            self.profiler.end_frame()
+                    write_png(f"{dump_dir}/frame_{i:04d}.png", ldr)
             outputs.append(out)
+
+        for i in range(num_frames):
+            self.profiler.begin_frame()
+            cam = Camera(
+                eye=cams.eye[i], target=cams.target[i], up=cams.up[i]
+            )
+            with self.profiler.scope("Render"):
+                if adapt:
+                    out, adapted_lum = self.renderer.render_adaptive(
+                        cam, self.params, adapted_lum, dt
+                    )
+                    lum_trace.append(adapted_lum)
+                else:
+                    out = self.renderer.render(cam, self.params)
+            in_flight.append((i, out))
+            if len(in_flight) >= frames_in_flight:
+                retire(*in_flight.pop(0))
+            self.profiler.end_frame()
+        self.profiler.begin_frame()
+        while in_flight:
+            retire(*in_flight.pop(0))
+        self.profiler.end_frame()
         if trace_path is not None:
             self.profiler.export_chrome_trace(trace_path)
+        self.adapted_lum = adapted_lum
+        # per-frame adapted-luminance history (fetched once, post-loop,
+        # so the carry never forces a mid-loop sync)
+        self.adapt_history = [float(np.asarray(v)) for v in lum_trace]
         return outputs
 
     def window_title(self) -> str:
@@ -149,19 +184,56 @@ class App:
 
         timer = PassTimer()
 
-        # "Terrain Shadow" (horizon-map field)
-        timer.measure(
-            "Terrain Shadow",
-            lambda lx: shadow.horizon_shadow_field(
-                r.heightmap, params.max_height, float(ts.world_size), lx
-            ),
-            params.light_direction,
-        )
+        if cfg.shadow_mode == "map":
+            # reference architecture (Renderer.cpp:333-428):
+            # "ShadowMap" = the light-view depth-only raster;
+            # "Cascade ShadowMap" = the full shadow phase (depth raster +
+            # filtered comparison sampling of all receiver points)
+            timer.measure(
+                "ShadowMap",
+                lambda lx: r._light_depth_pass(
+                    params._replace(light_direction=lx), vc["camera_pos"]
+                )[0],
+                params.light_direction,
+            )
 
-        shadow_field = shadow.horizon_shadow_field(
-            r.heightmap, params.max_height, float(ts.world_size),
-            params.light_direction,
-        )
+            def full_shadow_phase(lx):
+                p2 = params._replace(light_direction=lx)
+                depth_map, wtc_l, z_range, _ = r._light_depth_pass(
+                    p2, vc["camera_pos"]
+                )
+                hw = r.heightmap * p2.max_height
+                Ht, Wt = r.heightmap.shape
+                gx = jnp.linspace(
+                    -ts.world_size / 2, ts.world_size / 2, Wt
+                )
+                gz = jnp.linspace(
+                    -ts.world_size / 2, ts.world_size / 2, Ht
+                )
+                X, Z = jnp.meshgrid(gx, gz, indexing="xy")
+                pts = jnp.stack([X, hw, Z], axis=-1).reshape(-1, 3)
+                return shadow.shadow_factors_from_map(
+                    depth_map, wtc_l, z_range, pts
+                ).reshape(Ht, Wt)
+
+            timer.measure(
+                "Cascade ShadowMap", full_shadow_phase,
+                params.light_direction,
+            )
+            shadow_field = full_shadow_phase(params.light_direction)
+        else:
+            # "Terrain Shadow" (TPU-native horizon-map field)
+            timer.measure(
+                "Terrain Shadow",
+                lambda lx: shadow.horizon_shadow_field(
+                    r.heightmap, params.max_height, float(ts.world_size), lx
+                ),
+                params.light_direction,
+            )
+            shadow_field = shadow.horizon_shadow_field(
+                r.heightmap, params.max_height, float(ts.world_size),
+                params.light_direction,
+            )
 
         # selection ("TerrainPass::UpdateTransforms" analog)
         timer.measure(
@@ -171,9 +243,31 @@ class App:
             ),
             vc["camera_pos"],
         )
-        instances = quadtree.select_all_surfaces(
-            ts, vc["camera_pos"], planes, ts.lod_ranges()
-        )
+
+        # scene-mesh counters (Renderer.cpp:326-440): "Scene Refresh" =
+        # per-frame transform apply; "GBuffer fill" = the scene blocks'
+        # incremental setup+pack cost (the meshes ride the same raster)
+        if r._scene_obj is not None:
+            timer.measure(
+                "Scene Refresh",
+                lambda xf: r._scene_blocks(xf, params.max_height),
+                r.scene_transforms,
+            )
+            s_world, s_attrs = r._scene_blocks(
+                r.scene_transforms, params.max_height
+            )
+            timer.measure(
+                "GBuffer fill",
+                lambda w: raster_pallas.pack_components(
+                    raster.setup_components(
+                        w, s_attrs,
+                        jnp.ones((w.shape[0],), bool), r._scene_tri_idx,
+                        vc["world_to_clip"], cfg.width, cfg.height,
+                    ),
+                    tri_batch=cfg.raster.tri_batch,
+                ),
+                s_world,
+            )
 
         # vertex stage + raster = "Terrain"
         timer.measure(
@@ -182,14 +276,6 @@ class App:
             vc["camera_pos"],
         )
 
-        vout = vertex.vertex_stage(
-            ts, instances, vc["camera_pos"], r.heightmap, r.albedo,
-            shadow_field, params.max_height, ts.lod_ranges(),
-        )
-        setup = raster.setup_triangles(
-            vout.world, vout.attrs, instances.valid, r.tri_indices,
-            vc["world_to_clip"], cfg.width, cfg.height,
-        )
         z, prim_id, attrs, _, _ = r._terrain_pass(vc, params, shadow_field)
         covered = prim_id >= 0
         rays = r._view_rays(vc)

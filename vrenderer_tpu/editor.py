@@ -46,6 +46,11 @@ class Editor:
         self.locked_instances = None
         self.last_output = None
         self.frame_counter = 0
+        # eye adaptation advances across editor renders by default (the
+        # reference's per-frame tonemap AdvanceFrame, Renderer.cpp:188-189)
+        self.adapt = True
+        self.adapted_lum = 0.5
+        self._last_render_t: Optional[float] = None
         os.makedirs(out_dir, exist_ok=True)
 
     # -- command surface ---------------------------------------------------
@@ -72,9 +77,11 @@ class Editor:
             "light AZ EL           sun direction from azimuth/elevation deg",
             "ambient V | exposure V | max-height V   set render params",
             "terrain on|off        toggle the terrain pass (traced)",
+            "adapt on|off          eye adaptation across renders (default on)",
             "debug-quadtree on|off node-id tint overlay",
             "lock | unlock         freeze/unfreeze LOD selection",
             "load PATH             load a glTF/GLB scene",
+            "move-instance I X Y Z translate scene instance I (no rebuild)",
             "clear-scene           drop the scene",
             "reload                shader-reload analog (drop jit caches)",
             "stats                 instances/coverage/ms of the last frame",
@@ -86,10 +93,25 @@ class Editor:
         ])
 
     def _render(self):
+        import time
+
         app = self.app
         app.profiler.begin_frame()
+        now = time.perf_counter()
+        # Animate(seconds): real elapsed wall time since the previous
+        # editor render, clamped so long idle gaps don't snap exposure
+        dt = min(
+            now - (self._last_render_t or now - 1.0 / 30.0), 0.5
+        )
+        self._last_render_t = now
         with app.profiler.scope("Render"):
-            if self.locked_instances is not None:
+            if self.adapt:
+                out, lum = app.renderer.render_adaptive(
+                    self.camera, app.params, self.adapted_lum, dt,
+                    instances=self.locked_instances,
+                )
+                self.adapted_lum = float(np.asarray(lum))
+            elif self.locked_instances is not None:
                 out = app.renderer.render_locked(
                     self.camera, app.params, self.locked_instances
                 )
@@ -159,6 +181,11 @@ class Editor:
             render_terrain=jnp.float32(1.0 if onoff == "on" else 0.0)
         )
 
+    def cmd_adapt(self, onoff):
+        self.adapt = onoff == "on"
+        return f"eye adaptation {'on' if self.adapt else 'off'} " \
+               f"(lum={self.adapted_lum:.3f})"
+
     def cmd_debug_quadtree(self, onoff):
         self.app.params = self.app.params._replace(
             debug_quadtree=jnp.float32(1.0 if onoff == "on" else 0.0)
@@ -184,6 +211,19 @@ class Editor:
             interpret=app.renderer.interpret, scene=sc,
         )
         return f"loaded {path}: {len(sc.instances)} instance(s)"
+
+    def cmd_move_instance(self, idx, dx, dy, dz):
+        """Translate scene instance ``idx`` by (dx, dy, dz) — a traced
+        transform update (Scene::RefreshSceneGraph analog): the next
+        frame picks it up with no Renderer rebuild and no recompile."""
+        r = self.app.renderer
+        if r.scene_transforms is None:
+            return "no scene loaded"
+        i = int(idx)
+        t = jnp.asarray([float(dx), float(dy), float(dz)], jnp.float32)
+        r.scene_transforms = r.scene_transforms.at[i, 3].add(t)
+        p = np.asarray(r.scene_transforms[i, 3])
+        return f"instance {i} origin now ({p[0]:g}, {p[1]:g}, {p[2]:g})"
 
     def cmd_clear_scene(self):
         from vrenderer_tpu.renderer import Renderer

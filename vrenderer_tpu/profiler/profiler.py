@@ -143,11 +143,28 @@ class FrameProfiler:
     frames: List[Dict] = field(default_factory=list)
     frame_times_ms: List[float] = field(default_factory=list)
     paused: bool = False
+    # back scopes with the native C++ event ring when the library loads
+    # (the reference's CPUProfiler IS its app instrumentation,
+    # Profiler.h:55-110); pure-Python ring still keeps the chrome-trace /
+    # flame-graph state either way.
+    use_native: bool = True
     _open: List[Dict] = field(default_factory=list)
     _frame_start: Optional[float] = None
+    _native: object = field(default=None, repr=False)
+
+    def __post_init__(self):
+        if self.use_native:
+            try:
+                from vrenderer_tpu.utils.native import NativeProfiler
+
+                self._native = NativeProfiler()
+            except Exception:
+                self._native = None
 
     def begin_frame(self):
         self._frame_start = time.perf_counter()
+        if self._native is not None:
+            self._native.new_frame()
         if self.paused:
             return
         self.frames.append({"events": [], "start": self._frame_start})
@@ -155,9 +172,13 @@ class FrameProfiler:
             self.frames.pop(0)
 
     def begin(self, name: str):
+        if self._native is not None:
+            self._native.begin(name)
         self._open.append({"name": name, "start": time.perf_counter()})
 
     def end(self):
+        if self._native is not None:
+            self._native.end()
         ev = self._open.pop()
         if self.paused or not self.frames:
             return
@@ -298,6 +319,13 @@ class FrameProfiler:
         parts.append("</svg>")
         with open(path, "w") as fh:
             fh.write("".join(parts))
+
+    def native_events(self):
+        """Events recorded in the native C++ ring (name/begin_ns/end_ns/
+        depth/frame dicts); [] when the native library is unavailable."""
+        if self._native is None:
+            return []
+        return self._native.events()
 
     def average_frame_ms(self) -> float:
         """Title-bar style avg ms/frame (Renderer.cpp:190)."""

@@ -45,15 +45,27 @@ def procedural_heightmap(resolution: int = 256, seed: int = 1234) -> jnp.ndarray
     Axis convention: [v, u] = [z row, x column], matching the reference's
     uv mapping uv = (worldPos.xz + half) / worldSize (terrain_vs.hlsl:30).
     """
-    rng = np.random.default_rng(seed)
-    h = np.zeros((resolution, resolution), np.float32)
-    amp, cells, total = 1.0, 4, 0.0
-    while cells <= resolution // 2:
-        h += amp * _value_noise(resolution, cells, rng)
-        total += amp
-        amp *= 0.55
-        cells *= 2
-    h = h / total
+    h = None
+    if resolution >= 1024:
+        # large assets: the per-octave numpy temporaries dominate init
+        # time, so the fBm loop runs in the native library when it loads
+        # (native/vrt_native.cpp vrt_fbm_heightmap; same lattice-noise
+        # construction, its own deterministic hash). Shaping below is
+        # identical on both paths.
+        from vrenderer_tpu.utils import native
+
+        h = native.fbm_heightmap(resolution, seed=seed, octaves=32,
+                                 gain=0.55)
+    if h is None:
+        rng = np.random.default_rng(seed)
+        h = np.zeros((resolution, resolution), np.float32)
+        amp, cells, total = 1.0, 4, 0.0
+        while cells <= resolution // 2:
+            h += amp * _value_noise(resolution, cells, rng)
+            total += amp
+            amp *= 0.55
+            cells *= 2
+        h = h / total
     # gentle shaping: ridged center falloff so the default view has relief
     yy, xx = np.meshgrid(
         np.linspace(-1, 1, resolution, dtype=np.float32),
