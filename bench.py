@@ -29,10 +29,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FPS = 120.0  # north-star target (BASELINE.json / BASELINE.md)
 
-# default: 1080p padded to whole 128px supertile rows (BASELINE config 2);
-# --mode 4k switches to BASELINE config 5 (and prints per-pass counters
-# to stderr)
-if "--mode" in sys.argv and "4k" in sys.argv:
+# default: 1080p padded to whole 128px supertile rows (BASELINE config 2).
+# --mode 4k: BASELINE config 5 (prints per-pass counters to stderr).
+# --mode map: 1080p with shadow_mode="map" at 2048^2 (the reference's
+#   actual shadow architecture, Renderer.cpp:83-93) — one extra Pallas
+#   depth raster + filtered comparison sampling per frame.
+# --mode envelope: the reference workload envelope (TerrainPass.h:25
+#   MAX_INSTANCES=4096): 4-surface 4096m world at 4K, where selection
+#   genuinely exceeds 1024 instances.
+# --mode ground: walking-height camera — exercises the crossing-instance
+#   full-frame-bbox path (instances straddling w=0) under load.
+MODE = "1080p"
+if "--mode" in sys.argv:
+    MODE = sys.argv[sys.argv.index("--mode") + 1]
+if MODE in ("4k", "envelope"):
     WIDTH, HEIGHT = 3840, 2176
 else:
     WIDTH, HEIGHT = 1920, 1152
@@ -42,22 +52,66 @@ def build():
     from vrenderer_tpu.config import FrameConfig, TerrainSettings
     from vrenderer_tpu.renderer import Renderer, FrameParams
     from vrenderer_tpu.terrain import heightmap as hmod
-    from vrenderer_tpu.camera import flythrough
+    from vrenderer_tpu.camera import flythrough, Camera
 
+    if MODE == "envelope":
+        ts = TerrainSettings(max_instances=4096, surface_size=2048,
+                             world_size=4096)
+    else:
+        ts = TerrainSettings(max_instances=1024)
     cfg = FrameConfig(
-        width=WIDTH, height=HEIGHT,
-        terrain=TerrainSettings(max_instances=1024),
+        width=WIDTH, height=HEIGHT, terrain=ts,
+        shadow_mode="map" if MODE == "map" else "horizon",
+        shadow_resolution=2048,
     )
     hm = hmod.procedural_heightmap(256)
     alb = hmod.procedural_albedo(hm)
     on_tpu = jax.default_backend() == "tpu"
     # 4K has ~4x the supertiles: 1080p fits ~900 work items in 2048,
     # 4K needs ~2700 (the overflow probe asserts otherwise)
+    # render budget: the flythrough selects ~300 instances peak; 512 is
+    # the capacity headroom (overflow asserts below catch violations).
+    # Pipeline cost scales with the budget, not the selection capacity —
+    # the analog of the reference drawing numNodes instances out of its
+    # 4096-slot buffer (TerrainPass.cpp:215-222).
+    max_active = {"envelope": 2048}.get(MODE, 512)
+    max_work = 4096 if HEIGHT > 1200 else 2048
+    if MODE == "envelope":
+        max_work = 6144
     r = Renderer(cfg, hm, alb, raster_backend="pallas",
                  interpret=not on_tpu,
-                 max_work=4096 if HEIGHT > 1200 else 2048)
+                 max_work=max_work,
+                 max_active=max_active)
     params = FrameParams.default()
-    cams = flythrough(64, heightmap=hm, max_height=400.0)
+    cams = flythrough(64, heightmap=hm, max_height=400.0,
+                      world_size=ts.world_size)
+    if MODE == "ground":
+        # walking-height pass: eye ~2.5 m above the terrain, looking
+        # along the ground — near instances straddle the near plane
+        import numpy as np
+
+        ground = []
+        hm_np = np.asarray(hm)
+        res = hm_np.shape[0]
+        ws = float(ts.world_size)
+        for i in range(64):
+            ang = 2.0 * np.pi * i / 64.0
+            x = 160.0 * np.cos(ang)
+            z = 160.0 * np.sin(ang)
+            u = int(np.clip((x / ws + 0.5) * (res - 1), 0, res - 1))
+            v = int(np.clip((z / ws + 0.5) * (res - 1), 0, res - 1))
+            y = float(hm_np[v, u]) * 400.0 + 2.5
+            ground.append((x, y, z, np.cos(ang + 0.6), np.sin(ang + 0.6)))
+        g = np.asarray(ground, np.float32)
+        eye = jnp.asarray(g[:, :3])
+        tgt = eye + jnp.stack(
+            [g[:, 3] * 50.0, jnp.zeros(64), g[:, 4] * 50.0], axis=-1
+        )
+        cams = Camera(
+            eye=eye, target=tgt,
+            up=jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+                        (64, 1)),
+        )
     return r, params, cams
 
 
@@ -96,8 +150,15 @@ def main():
     )
     assert not bool(probe.overflow), (
         f"work-list/instance overflow at bench config "
-        f"(work={int(probe.num_work_items)}/{renderer.max_work})"
+        f"(work={int(probe.num_work_items)}/{renderer.max_work}, "
+        f"instances={int(probe.num_instances)}/{renderer.max_active})"
     )
+    if MODE == "envelope":
+        # the envelope's whole point: selection beyond the 1024 cap
+        n_inst = int(probe.num_instances)
+        print(f"envelope probe: {n_inst} instances, "
+              f"{int(probe.num_work_items)} work items", file=sys.stderr)
+        assert n_inst > 1024, f"envelope only selected {n_inst} instances"
     short_n, long_n = 4, 20
     f_short = chain_fn(renderer, params, cams, short_n)
     f_long = chain_fn(renderer, params, cams, long_n)
@@ -107,7 +168,7 @@ def main():
     tl = min(timed(f_long)[0] for _ in range(3))
     per_frame = max((tl - ts) / (long_n - short_n), 1e-6)
     fps = 1.0 / per_frame
-    is_4k = HEIGHT > 1200
+    is_4k = MODE == "4k"
     if is_4k:
         # BASELINE config 5: per-pass counters alongside the headline
         try:
@@ -124,9 +185,14 @@ def main():
             print(timer.table(), file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"per-pass profiling failed: {e}", file=sys.stderr)
+    metric = {
+        "4k": "terrain_flythrough_4k_fps",
+        "map": "terrain_flythrough_1080p_shadowmap_fps",
+        "envelope": "terrain_envelope_4k_4096inst_fps",
+        "ground": "terrain_ground_camera_1080p_fps",
+    }.get(MODE, "terrain_flythrough_1080p_fps")
     print(json.dumps({
-        "metric": "terrain_flythrough_4k_fps" if is_4k
-        else "terrain_flythrough_1080p_fps",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

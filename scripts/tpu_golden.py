@@ -12,6 +12,12 @@ Stored as tests/golden_tpu.npz: ldr u8 (the real output format after
 sRGB), prim_id coverage, and depth stats. Tolerances allow small
 cross-version numeric drift but fail loudly on NaNs, artifact speckle,
 or coverage shifts.
+
+A second golden pins the reference shadow architecture on hardware
+(shadow_mode="map" at 2048^2, Renderer.cpp:83-93; stored as
+tests/golden_tpu_map.npz):
+
+  python scripts/tpu_golden.py write-map / check-map
 """
 
 import os
@@ -26,16 +32,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "..", "tests", "golden_tpu.npz")
+GOLDEN_MAP = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", "tests", "golden_tpu_map.npz")
 
 
-def render():
-    import jax.numpy as jnp
+def render(shadow_mode="horizon"):
     from vrenderer_tpu.app import App
     from vrenderer_tpu.config import FrameConfig, TerrainSettings
     from vrenderer_tpu.camera import flythrough, Camera
 
     app = App(FrameConfig(width=1920, height=1152,
-                          terrain=TerrainSettings(max_instances=1024)))
+                          terrain=TerrainSettings(max_instances=1024),
+                          shadow_mode=shadow_mode,
+                          shadow_resolution=2048))
     cams = flythrough(64, heightmap=app.renderer.heightmap,
                       max_height=400.0)
     cam = Camera(eye=cams.eye[7], target=cams.target[7], up=cams.up[7])
@@ -48,18 +57,21 @@ def render():
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
-    ldr, prim, depth = render()
+    is_map = mode.endswith("-map")
+    golden_path = GOLDEN_MAP if is_map else GOLDEN
+    mode = mode.replace("-map", "")
+    ldr, prim, depth = render("map" if is_map else "horizon")
     assert np.all(np.isfinite(ldr)), "NaN/inf in TPU ldr output"
     u8 = np.clip(np.round(ldr * 255.0), 0, 255).astype(np.uint8)
     cov = prim >= 0
     if mode == "write":
         np.savez_compressed(
-            GOLDEN, ldr_u8=u8, covered=cov,
+            golden_path, ldr_u8=u8, covered=cov,
             depth_mean=np.float32(depth[cov].mean()),
         )
-        print(f"wrote {GOLDEN}: coverage {cov.mean():.4f}")
+        print(f"wrote {golden_path}: coverage {cov.mean():.4f}")
         return 0
-    g = np.load(GOLDEN)
+    g = np.load(golden_path)
     dd = np.abs(u8.astype(np.int16) - g["ldr_u8"].astype(np.int16))
     cov_diff = (cov != g["covered"]).mean()
     bad = (dd > 8).mean()
