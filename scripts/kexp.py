@@ -67,12 +67,13 @@ def build_setup(cam_idx=0, max_active=512):
 
 
 def build_work(cfg, packed, bbox, usable, dist, compact_k, sub_h,
-               max_work=2048):
+               max_work=2048, win_w=128):
     ts = cfg.terrain
     work = rp.build_work_list(
         bbox, usable, cfg.width, cfg.height, tile=cfg.raster.tile_w,
         tris_per_inst=ts.tris_per_instance, max_work=max_work,
-        order_key=dist, packed=packed, sub_h=sub_h, compact_k=compact_k)
+        order_key=dist, packed=packed, sub_h=sub_h, compact_k=compact_k,
+        win_w=win_w)
     return packed, work
 
 
@@ -89,16 +90,17 @@ def work_stats(cfg, work, compact_k, sub_h):
 
 
 def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
-                max_work=2048):
+                max_work=2048, win_w=128):
     packed, work = build_work(cfg, setup, bbox, usable, dist, compact_k,
-                              sub_h, max_work)
+                              sub_h, max_work, win_w)
     work_stats(cfg, work, compact_k, sub_h)
 
     def call(splits):
         p = rp.PackedTris(splits, packed.tri_cols, packed.batch_meta)
         z, idb, attrs, _ = rp.rasterize_pallas(
             p, work, cfg.width, cfg.height, tile=cfg.raster.tile_w,
-            sub_h=sub_h, compact_k=compact_k, max_work=max_work)
+            sub_h=sub_h, compact_k=compact_k, max_work=max_work,
+            win_w=win_w)
         return z
 
     def chain(n):
@@ -117,7 +119,8 @@ def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
     t4 = min(_t(lambda: float(f4(sp))) for _ in range(3))
     t12 = min(_t(lambda: float(f12(sp))) for _ in range(3))
     ms = (t12 - t4) / 8 * 1000
-    print(f"  kernel K={compact_k:3d} sub_h={sub_h}: {ms:8.2f} ms/frame")
+    print(f"  kernel K={compact_k:3d} sub_h={sub_h} win={win_w}: "
+          f"{ms:8.2f} ms/frame")
     return ms
 
 
@@ -132,6 +135,7 @@ if __name__ == "__main__":
     cam_idx = 0
     ks = []
     sub_h = 8
+    win_w = 128
     do_stats = False
     for a in args:
         if a.startswith("cam="):
@@ -140,6 +144,8 @@ if __name__ == "__main__":
             ks = [int(v) for v in a[2:].split(",")]
         elif a.startswith("sub="):
             sub_h = int(a[4:])
+        elif a.startswith("win="):
+            win_w = int(a[4:])
         elif a == "stats":
             do_stats = True
     cfg, setup, bbox, usable, dist = build_setup(cam_idx)
@@ -149,4 +155,4 @@ if __name__ == "__main__":
             _, work = build_work(cfg, setup, bbox, usable, dist, k, sub_h)
             work_stats(cfg, work, k, sub_h)
     for k in ks:
-        time_config(cfg, setup, bbox, usable, dist, k, sub_h)
+        time_config(cfg, setup, bbox, usable, dist, k, sub_h, win_w=win_w)

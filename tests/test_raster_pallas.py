@@ -45,7 +45,7 @@ def _scene(eye, target, seed=0):
     return inst, vout, setup, vc
 
 
-def _run_both(eye, target):
+def _run_both(eye, target, win_w=128):
     inst, vout, setup, vc = _scene(eye, target)
     T = SET.tris_per_instance
     I = SET.max_instances
@@ -58,11 +58,11 @@ def _run_both(eye, target):
     )
     work = raster_pallas.build_work_list(
         bbox, usable, W, H, tile=128, tris_per_inst=T, max_work=256,
-        order_key=dist, packed=packed, compact_k=16,
+        order_key=dist, packed=packed, compact_k=16, win_w=win_w,
     )
     z_p, id_p, at_p, _ = raster_pallas.rasterize_pallas(
         packed, work, W, H, tile=128, sub_h=8, compact_k=16,
-        max_work=256, interpret=True,
+        max_work=256, interpret=True, win_w=win_w,
     )
     return (z_x, id_x, at_x), (z_p, id_p, at_p), inst
 
@@ -92,6 +92,27 @@ def test_pallas_matches_xla_oracle_oblique_view():
     covered = id_x >= 0
     assert covered.sum() > 1000
     np.testing.assert_array_equal(id_p, id_x)
+    np.testing.assert_allclose(
+        np.asarray(at_p)[covered], np.asarray(at_x)[covered], atol=3e-4
+    )
+
+
+def test_pallas_windowed_compaction_matches_oracle():
+    """win_w=32 (x-windowed cells) must agree with the oracle exactly —
+    same winners and z as the full-width layout, pixels stitched back in
+    the right order."""
+    (z_x, id_x, at_x), (z_p, id_p, at_p), _ = _run_both(
+        [25.0, 8.0, 25.0], [-10.0, 2.0, -10.0], win_w=32
+    )
+    id_x = np.asarray(id_x)
+    id_p = np.asarray(id_p)
+    covered = id_x >= 0
+    assert covered.sum() > 1000
+    np.testing.assert_array_equal(id_p, id_x)
+    np.testing.assert_allclose(
+        np.asarray(z_p)[covered], np.asarray(z_x)[covered], rtol=0,
+        atol=1e-6
+    )
     np.testing.assert_allclose(
         np.asarray(at_p)[covered], np.asarray(at_x)[covered], atol=3e-4
     )

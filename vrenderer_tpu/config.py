@@ -86,10 +86,19 @@ class RasterSettings:
     # Batch granularity for the host-side conservative z-range metadata
     # (feeds item-level early-z bounds in the work-list builder).
     tri_batch: int = 32
-    # Compaction width: per (work item, subtile) the triangles touching
-    # the subtile are compacted into groups of this many rows via a
-    # one-hot MXU matmul, then evaluated densely over the subtile.
+    # Compaction width: per (work item, cell) the triangles touching
+    # the cell are compacted into groups of this many rows via a
+    # one-hot MXU matmul, then evaluated densely over the cell.
     compact_k: int = 32
+    # Compaction-cell x-window width in pixels (tile_w divides by it).
+    # Cells are (subtile_h x win_w) blocks. HARDWARE CONSTRAINT: Mosaic
+    # only lowers the cell->tile stitch reshape when win_w is a multiple
+    # of 128 (minor-dim-128 rule), so win_w < 128 runs under interpret
+    # only (tests); on TPU use win_w=128 with tile_w 128/256 (wider
+    # tiles cut work items; sub-128 windows would cut the eval sweep to
+    # the triangles' ~16-px footprint but cannot be stitched -- see
+    # docs/PERFORMANCE.md).
+    win_w: int = 128
     # Interpolated vertex-attribute channels (albedo3, normal3, shadow,
     # height).
     attr_channels: int = 8

@@ -363,13 +363,15 @@ class WorkList(NamedTuple):
 
     meta rows: st, inst, first, last, base_id, item_valid, tile_y, tile_x,
     item zmin (fixed-point, for exact early-z skips).
-    sub_rounds[s, w]: per-(item, subtile) compaction round count
-    ceil(count / K); 0 means the subtile has no triangles from this item.
-    Exact counts — the kernel loops exactly this many one-hot rounds, so
-    no triangle is ever dropped by a range cap."""
+    sub_rounds[c, w]: per-(item, cell) compaction round count
+    ceil(count / K), where a cell is a (sub_h x win_w)-px block of the
+    supertile (cell = subtile_row * n_win + x_window); 0 means the cell
+    has no triangles from this item. Exact counts — the kernel loops
+    exactly this many one-hot rounds, so no triangle is ever dropped by
+    a range cap."""
 
     meta: jnp.ndarray        # (9, MAX_WORK) int32
-    sub_rounds: jnp.ndarray  # (n_sub, MAX_WORK) int32
+    sub_rounds: jnp.ndarray  # (n_sub * n_win, MAX_WORK) int32
     num_items: jnp.ndarray   # () int32 (> MAX_WORK means overflow/drop)
 
 
@@ -426,13 +428,15 @@ def build_work_list(
     packed: PackedTris = None,  # from pack_tri_data — required
     sub_h: int = 8,
     compact_k: int = 32,
+    win_w: int = 128,
 ) -> WorkList:
     """Supertile-major (st, instance) pairs, one leading dummy per
     supertile. With order_key (camera distance), instances are emitted
     near-to-far within each tile so early-z culls occluded items.
 
-    sub_rounds[s, w] = ceil(#triangles of item w touching subtile s / K):
-    the exact number of K-wide compaction rounds the kernel runs."""
+    sub_rounds[c, w] = ceil(#triangles of item w touching cell c / K)
+    where cell c = subtile_row * (tile // win_w) + x_window: the exact
+    number of K-wide compaction rounds the kernel runs per cell."""
     if packed is None:
         raise ValueError("packed (from pack_tri_data) is required")
     tiles_x = -(-width // tile)
@@ -518,24 +522,29 @@ def build_work_list(
         jnp.clip(item_zmin, 0.0, 2.0) * (1 << 20)
     ).astype(jnp.int32)
 
-    # per-(item, subtile) triangle counts -> compaction round counts.
-    # Computed once per INSTANCE as a batched MXU contraction over lanes:
-    # counts_i[i, r, x] = sum_t yhit[i, r, t] * xhit[i, x, t]. The 0/1
-    # factors are bf16-exact and the f32 accumulator is exact to 2^24, so
-    # the counts are exact. Work items then pick their (row-range, column)
-    # with one-hot f32 multiplies (also exact). This replaces a
-    # per-work-item (max_work, n_sub, T) compare/reduce sweep whose cost
-    # scaled with the work-list capacity instead of the instance count.
+    # per-(item, subtile-row, x-window) triangle counts -> compaction
+    # round counts. Computed once per INSTANCE as a batched MXU
+    # contraction over lanes: counts_i[i, r, x] = sum_t yhit[i, r, t] *
+    # xhit[i, x, t], with x at WINDOW granularity (win_w-px columns
+    # inside each tile; win_w == tile degenerates to per-subtile-row
+    # counts). The 0/1 factors are bf16-exact and the f32 accumulator is
+    # exact to 2^24, so the counts are exact. Work items then pick their
+    # (row-range, window-block) with one-hot f32 multiplies (also
+    # exact). This replaces a per-work-item (max_work, n_sub, T)
+    # compare/reduce sweep whose cost scaled with the work-list capacity
+    # instead of the instance count.
     n_sub = tile // sub_h
+    n_win = tile // win_w
     SR = tiles_y * n_sub
+    XW = tiles_x * n_win
     cols = packed.tri_cols
     validt = cols[:, _C_VALID] > 0.0
-    txs = jnp.arange(tiles_x, dtype=jnp.float32)[None, :, None] * tile
+    txs = jnp.arange(XW, dtype=jnp.float32)[None, :, None] * win_w
     xh = (
-        (cols[:, _C_X0][:, None, :] <= txs + (tile - 1))
+        (cols[:, _C_X0][:, None, :] <= txs + (win_w - 1))
         & (cols[:, _C_X1][:, None, :] >= txs)
         & validt[:, None, :]
-    )                                              # (I, tiles_x, T)
+    )                                              # (I, XW, T)
     srs = jnp.arange(SR, dtype=jnp.float32)[None, :, None] * sub_h
     yh = (
         (cols[:, _C_Y0][:, None, :] <= srs + (sub_h - 1))
@@ -545,24 +554,26 @@ def build_work_list(
         yh.astype(jnp.bfloat16), xh.astype(jnp.bfloat16),
         (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                              # (I, SR, tiles_x)
-    ci = counts_i[inst_sel]                        # (W, SR, tiles_x)
+    )                                              # (I, SR, XW)
+    ci = counts_i[inst_sel].reshape(-1, SR, tiles_x, n_win)  # (W,SR,tx,nw)
     oh_tx = (
         jnp.arange(tiles_x, dtype=jnp.int32)[None, :]
         == (w_st % tiles_x)[:, None]
     )
-    g = jnp.sum(jnp.where(oh_tx[:, None, :], ci, 0.0), axis=2)  # (W, SR)
+    g = jnp.sum(
+        jnp.where(oh_tx[:, None, :, None], ci, 0.0), axis=2
+    )                                              # (W, SR, n_win)
     rows = (
         (w_st // tiles_x)[:, None] * n_sub
         + jnp.arange(n_sub, dtype=jnp.int32)[None, :]
     )                                              # (W, n_sub)
     oh_r = rows[:, :, None] == jnp.arange(SR, dtype=jnp.int32)[None, None, :]
     counts = jnp.sum(
-        jnp.where(oh_r, g[:, None, :], 0.0), axis=2
-    ).astype(jnp.int32)                            # (W, n_sub)
+        jnp.where(oh_r[..., None], g[:, None, :, :], 0.0), axis=2
+    ).astype(jnp.int32)                            # (W, n_sub, n_win)
     rounds = jnp.where(
-        item_valid[:, None], -(-counts // compact_k), 0
-    ).astype(jnp.int32)
+        item_valid[:, None, None], -(-counts // compact_k), 0
+    ).astype(jnp.int32).reshape(-1, n_sub * n_win)
 
     meta = jnp.stack(
         [
@@ -596,17 +607,17 @@ def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
 
 def _raster_kernel(
     meta_ref,     # scalar prefetch (9, MAX_WORK) int32
-    subr_ref,     # scalar prefetch (n_sub, MAX_WORK) int32
+    subr_ref,     # scalar prefetch (n_cell, MAX_WORK) int32
     data_ref,     # (1, 48, T) f32 — one instance's packed tri data,
                   #   component-major (T on lanes)
     cols_ref,     # (1, 8, T) f32 — bbox/valid columns, lane-major
     z_ref,        # (TILE, TILE) out
     id_ref,       # (TILE, TILE) int32 out
     attr_ref,     # (16, TILE, TILE) out
-    z_scr,        # scratch (n_sub, sub_px) f32 — lane-major subtile depth
-    id_scr,       # scratch (n_sub, sub_px) i32
-    coef_acc,     # scratch (n_sub, 32, sub_px) f32
-    ranks,        # scratch (n_sub, T) f32 — masked compaction ranks
+    z_scr,        # scratch (n_cell, cell_px) f32 — lane-major cell depth
+    id_scr,       # scratch (n_cell, cell_px) i32
+    coef_acc,     # scratch (n_cell, 32, cell_px) f32
+    ranks,        # scratch (n_cell, T) f32 — masked compaction ranks
     *,
     tile: int,
     sub_h: int,
@@ -614,6 +625,7 @@ def _raster_kernel(
     tris_per_inst: int,
     reverse_z: bool,
     wire_px: float,
+    win_w: int,
 ):
     w = pl.program_id(0)
     first = meta_ref[2, w]
@@ -623,7 +635,9 @@ def _raster_kernel(
     tx = meta_ref[7, w]
 
     n_sub = tile // sub_h
-    P = sub_h * tile
+    n_win = tile // win_w
+    n_cell = n_sub * n_win
+    P = sub_h * win_w
     worst = -_FAR if reverse_z else _FAR
     K = compact_k
     T = tris_per_inst
@@ -633,8 +647,8 @@ def _raster_kernel(
 
     @pl.when(first == 1)
     def _init_tile():
-        z_scr[:] = jnp.full((n_sub, P), worst, jnp.float32)
-        id_scr[:] = jnp.full((n_sub, P), _BIG_ID, jnp.int32)
+        z_scr[:] = jnp.full((n_cell, P), worst, jnp.float32)
+        id_scr[:] = jnp.full((n_cell, P), _BIG_ID, jnp.int32)
         coef_acc[:] = jnp.zeros_like(coef_acc)
 
     kiota = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
@@ -663,34 +677,44 @@ def _raster_kernel(
         # 50% more DMA per item; here it is a few VPU passes over VMEM)
         d_hi, d_mid, d_lo = _split3_bf16(data_ref[0])  # (48, T) bf16
 
-        # subtile incidence masks -> compaction ranks.
-        # tri bbox/valid live lane-major in cols_ref so the (n_sub, T)
+        # cell incidence masks -> compaction ranks. A cell is a
+        # (sub_h x win_w)-px block of the supertile (win_w == tile
+        # degenerates to the pure subtile-row layout): shrinking the
+        # eval/update sweep from sub_h*tile to sub_h*win_w px per round
+        # is the difference between sweeping the full 128-px tile width
+        # for every ~16-px-wide triangle and sweeping only its window
+        # (triangles straddling window boundaries join both windows).
+        # tri bbox/valid live lane-major in cols_ref so the (n_cell, T)
         # masks, prefix sums, and (K, T) one-hots never transpose.
         cb = cols_ref[0]                              # (8, T)
-        xhit = (
-            (cb[_C_X0:_C_X0 + 1, :] <= x0f + (tile - 1))
-            & (cb[_C_X1:_C_X1 + 1, :] >= x0f)
-            & (cb[_C_VALID:_C_VALID + 1, :] > 0.0)
-        )                                             # (1, T)
-        srow = jax.lax.broadcasted_iota(
-            jnp.int32, (n_sub, T), 0
-        ).astype(jnp.float32)
-        sy0v = y0f + srow * sub_h
+        crow = jax.lax.broadcasted_iota(jnp.int32, (n_cell, T), 0)
+        sy0v = y0f + (crow // n_win).astype(jnp.float32) * sub_h
+        wx0v = x0f + (crow % n_win).astype(jnp.float32) * win_w
         m = (
             (cb[_C_Y0:_C_Y0 + 1, :] <= sy0v + (sub_h - 1))
             & (cb[_C_Y1:_C_Y1 + 1, :] >= sy0v)
-            & xhit
-        )                                             # (n_sub, T)
+            & (cb[_C_X0:_C_X0 + 1, :] <= wx0v + (win_w - 1))
+            & (cb[_C_X1:_C_X1 + 1, :] >= wx0v)
+            & (cb[_C_VALID:_C_VALID + 1, :] > 0.0)
+        )                                             # (n_cell, T)
         mf = m.astype(jnp.float32)
         csum = _lane_cumsum(mf)
         ranks[:] = jnp.where(m, csum - 1.0, -1.0)
 
-        def sub_body(s, _):
-            n_rounds = subr_ref[s, w]
-            sy0 = y0f + s.astype(jnp.float32) * sub_h
+        def cell_body(c, _):
+            n_rounds = subr_ref[c, w]
+            sy0 = y0f + (c // n_win).astype(jnp.float32) * sub_h
+            wx0 = x0f + (c % n_win).astype(jnp.float32) * win_w
+
+            # Early-z stays ITEM-level only: a per-cell variant (the same
+            # strict fixed-point skip against each cell's own depth edge,
+            # one (1, P) reduce per (item, cell)) measured 41.5 vs 43.9
+            # FPS on the 1080p flythrough — the always-paid reduce costs
+            # more than the skips save at this workload's overdraw.
+            run_cell = n_rounds > 0
 
             def round_body(r, _):
-                rank_s = ranks[pl.ds(s, 1), :]        # (1, T)
+                rank_s = ranks[pl.ds(c, 1), :]        # (1, T)
                 slot = jax.lax.broadcasted_iota(
                     jnp.int32, (K, T), 0
                 ).astype(jnp.float32) + (r * K).astype(jnp.float32)
@@ -728,8 +752,8 @@ def _raster_kernel(
                 pcolf = jax.lax.broadcasted_iota(
                     jnp.int32, (1, P), 1
                 )
-                pxc = (pcolf % tile).astype(jnp.float32) + (x0f + 0.5)
-                pyc = (pcolf // tile).astype(jnp.float32) + (sy0 + 0.5)
+                pxc = (pcolf % win_w).astype(jnp.float32) + (wx0 + 0.5)
+                pyc = (pcolf // win_w).astype(jnp.float32) + (sy0 + 0.5)
 
                 def ev(base):
                     return (
@@ -804,8 +828,8 @@ def _raster_kernel(
                 tid = (idv[0:1, :] + idv[1:2, :]).astype(jnp.int32)
                 gid = jnp.where(covered, base_id + tid, _BIG_ID)
 
-                zs = z_scr[pl.ds(s, 1), :]
-                ids = id_scr[pl.ds(s, 1), :]
+                zs = z_scr[pl.ds(c, 1), :]
+                ids = id_scr[pl.ds(c, 1), :]
                 if reverse_z:
                     better = z_best > zs
                 else:
@@ -813,44 +837,78 @@ def _raster_kernel(
                 upd = covered & (
                     better | ((z_best == zs) & (gid < ids))
                 )
-                acc = coef_acc[pl.ds(s, 1), 0:NUM_COEF, :]
-                coef_acc[pl.ds(s, 1), 0:NUM_COEF, :] = jnp.where(
+                acc = coef_acc[pl.ds(c, 1), 0:NUM_COEF, :]
+                coef_acc[pl.ds(c, 1), 0:NUM_COEF, :] = jnp.where(
                     upd[None], new_coef[None], acc
                 )
-                z_scr[pl.ds(s, 1), :] = jnp.where(upd, z_best, zs)
-                id_scr[pl.ds(s, 1), :] = jnp.where(upd, gid, ids)
+                z_scr[pl.ds(c, 1), :] = jnp.where(upd, z_best, zs)
+                id_scr[pl.ds(c, 1), :] = jnp.where(upd, gid, ids)
                 return 0
 
-            jax.lax.fori_loop(0, n_rounds, round_body, 0)
+            @pl.when(run_cell)
+            def _run_rounds():
+                jax.lax.fori_loop(0, n_rounds, round_body, 0)
+
             return 0
 
-        jax.lax.fori_loop(0, n_sub, sub_body, 0)
+        jax.lax.fori_loop(0, n_cell, cell_body, 0)
 
     @pl.when(last == 1)
     def _finalize():
-        z_ref[:] = z_scr[:].reshape(tile, tile)
-        idf = pltpu.bitcast(id_scr[:], jnp.float32)
-        id_ref[:] = pltpu.bitcast(idf.reshape(tile, tile), jnp.int32)
+        # z/id: cell-major scratch -> row-major tile. With windows the
+        # (sub_h, win_w) cell blocks are stitched back with lane-axis
+        # concats (finalize runs once per tile — relayout cost is off the
+        # hot loop).
+        if n_win == 1:
+            z_ref[:] = z_scr[:].reshape(tile, tile)
+            idf = pltpu.bitcast(id_scr[:], jnp.float32)
+            id_ref[:] = pltpu.bitcast(idf.reshape(tile, tile), jnp.int32)
+        else:
+            idf_all = pltpu.bitcast(id_scr[:], jnp.float32)  # (n_cell, P)
+
+            def stitch(src):
+                rows = []
+                for s in range(n_sub):
+                    rows.append(jnp.concatenate(
+                        [src[s * n_win + wi:s * n_win + wi + 1, :]
+                         .reshape(sub_h, win_w) for wi in range(n_win)],
+                        axis=1,
+                    ))
+                return jnp.concatenate(rows, axis=0)  # (tile, tile)
+
+            z_ref[:] = stitch(z_scr[:])
+            id_ref[:] = pltpu.bitcast(stitch(idf_all), jnp.int32)
+        dxl = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
         for s in range(n_sub):
             sy0 = y0f + s * sub_h
-            dxl = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-            px = (dxl % tile).astype(jnp.float32) + 0.5 + x0f
-            py = (dxl // tile).astype(jnp.float32) + 0.5 + sy0
-            coef = coef_acc[s, 0:NUM_COEF, :]  # SoA: a[9]; b[9]; c[9]
-            vals = coef[0:9, :] * px + coef[9:18, :] * py + coef[18:27, :]
+            py = (dxl // win_w).astype(jnp.float32) + 0.5 + sy0
+            vparts = []
+            for wi in range(n_win):
+                px = (dxl % win_w).astype(jnp.float32) + (
+                    0.5 + x0f + wi * win_w
+                )
+                coef = coef_acc[s * n_win + wi, 0:NUM_COEF, :]
+                # SoA: a[9]; b[9]; c[9]
+                vals = (
+                    coef[0:9, :] * px + coef[9:18, :] * py
+                    + coef[18:27, :]
+                )                                     # (9, P)
+                vparts.append(vals.reshape(9, sub_h, win_w))
             out = jnp.concatenate(
-                [vals, jnp.zeros((7, P), jnp.float32)], axis=0
-            )
-            attr_ref[:, s * sub_h:(s + 1) * sub_h, :] = out.reshape(
-                16, sub_h, tile
-            )
+                [jnp.concatenate(vparts, axis=2)]
+                + [jnp.zeros((7, sub_h, tile), jnp.float32)], axis=0
+            ) if n_win > 1 else jnp.concatenate(
+                [vparts[0].reshape(9, P),
+                 jnp.zeros((7, P), jnp.float32)], axis=0
+            ).reshape(16, sub_h, tile)
+            attr_ref[:, s * sub_h:(s + 1) * sub_h, :] = out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
-        "max_work", "interpret", "wire_px",
+        "max_work", "interpret", "wire_px", "win_w",
     ),
 )
 def rasterize_pallas(
@@ -865,22 +923,28 @@ def rasterize_pallas(
     max_work: int = 2048,
     interpret: bool = False,
     wire_px: float = 0.0,
+    win_w: int = 128,
 ):
     """Returns (z (H, W), id (H, W) i32 [-1 = background], attrs (H, W, 8),
-    inv_w (H, W)). H/W are padded to tile multiples then cropped."""
+    inv_w (H, W)). H/W are padded to tile multiples then cropped.
+    ``win_w`` must match the build_work_list call that made ``work``."""
     tri_data = packed.tri_data
     I, C, T = tri_data.shape
     assert C == _R_TOTAL
-    n_sub = tile // sub_h
+    n_cell = (tile // sub_h) * (tile // win_w)
+    assert work.sub_rounds.shape[0] == n_cell, (
+        f"work list built for {work.sub_rounds.shape[0]} cells, kernel "
+        f"configured for {n_cell} (sub_h={sub_h}, win_w={win_w})"
+    )
     # scalar-prefetch operands live in SMEM (~1 MB total on v5e)
-    smem_bytes = (9 + n_sub) * max_work * 4
+    smem_bytes = (9 + n_cell) * max_work * 4
     assert smem_bytes < 900_000, (
         f"work-list scalars need {smem_bytes}B of ~1MB SMEM; reduce "
-        f"max_work or increase sub_h"
+        f"max_work or increase sub_h/win_w"
     )
     pad_w = -(-width // tile) * tile
     pad_h = -(-height // tile) * tile
-    P = sub_h * tile
+    P = sub_h * win_w
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -907,10 +971,10 @@ def rasterize_pallas(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_sub, P), jnp.float32),
-            pltpu.VMEM((n_sub, P), jnp.int32),
-            pltpu.VMEM((n_sub, 32, P), jnp.float32),
-            pltpu.VMEM((n_sub, T), jnp.float32),
+            pltpu.VMEM((n_cell, P), jnp.float32),
+            pltpu.VMEM((n_cell, P), jnp.int32),
+            pltpu.VMEM((n_cell, 32, P), jnp.float32),
+            pltpu.VMEM((n_cell, T), jnp.float32),
         ],
     )
 
@@ -922,6 +986,7 @@ def rasterize_pallas(
         tris_per_inst=T,
         reverse_z=reverse_z,
         wire_px=wire_px,
+        win_w=win_w,
     )
     z, idb, attr = pl.pallas_call(
         kernel,
