@@ -199,22 +199,14 @@ class App:
 
             def full_shadow_phase(lx):
                 p2 = params._replace(light_direction=lx)
-                depth_map, wtc_l, z_range, _ = r._light_depth_pass(
+                depth_map, _, _, _, shear = r._light_depth_pass(
                     p2, vc["camera_pos"]
                 )
-                hw = r.heightmap * p2.max_height
-                Ht, Wt = r.heightmap.shape
-                gx = jnp.linspace(
-                    -ts.world_size / 2, ts.world_size / 2, Wt
+                s0 = shadow.shear_map_heights(depth_map, depth_map < 2.0)
+                return shadow.factors_from_sun_shear_map(
+                    s0, r.heightmap, p2.max_height,
+                    float(ts.world_size), *shear, -lx[1],
                 )
-                gz = jnp.linspace(
-                    -ts.world_size / 2, ts.world_size / 2, Ht
-                )
-                X, Z = jnp.meshgrid(gx, gz, indexing="xy")
-                pts = jnp.stack([X, hw, Z], axis=-1).reshape(-1, 3)
-                return shadow.shadow_factors_from_map(
-                    depth_map, wtc_l, z_range, pts
-                ).reshape(Ht, Wt)
 
             timer.measure(
                 "Cascade ShadowMap", full_shadow_phase,

@@ -232,6 +232,162 @@ def shadow_factors_from_map(
     return out.reshape(-1)[:N]
 
 
+def sun_shear_matrices(
+    light_direction: jnp.ndarray,  # (3,) direction light TRAVELS (y < 0)
+    world_size: float,
+    max_height: jnp.ndarray,
+    resolution: int,
+    k_max: float = 4.0,
+):
+    """Sun-ray-aligned (sheared) world->clip for the light-view depth
+    raster — the TPU-native shadow-map parameterization.
+
+    The reference's shadow phase renders depth from an arbitrary ortho
+    sun view and PCF-samples it per pixel (Renderer.cpp:333-428). An
+    arbitrary ortho rotation makes the receiver->map mapping a rotated
+    lattice, which forces per-point sampling (O(N*R^2) matmuls on TPU,
+    measured ~180 ms/frame at 2048^2). This projection instead follows
+    each sun ray to its y=0 ground intersection and uses THAT point as
+    the map pixel: map coords (x + y*kx, z + y*kz) with
+    (kx, kz) = horizontal light travel per meter of drop, depth linear
+    in world height (higher = closer to the sun). It is still a genuine
+    depth-only raster along sun rays — same occluder set, same
+    comparison semantics — but the map lattice now lands axis-aligned
+    on the world's xz lattice, so terrain receivers sample it with
+    SEPARABLE matmuls (factors_from_sun_shear_map) instead of per-point
+    one-hots. ``shadow_factors_from_map`` works unchanged against the
+    returned matrix for arbitrary (mesh-vertex) receivers.
+
+    Shear magnitude is clamped to ``k_max`` (a sun below ~14 deg
+    elevation stretches shadows across the whole world; the horizon
+    fallback there is handled by the caller via sun_y <= 0 darkness,
+    matching horizon_shadow_field).
+
+    The map spans the world PLUS ``max_height * |k|`` per axis: a
+    receiver at height h grounds its ray up to that far outside the
+    world, so without the pad edge-clamping would fabricate shadows
+    near the borders. Pixel centers land on the span's texel lattice
+    (same half-texel construction as mesh_top_field). Returns
+    (wtc (4, 4), kx, kz, span_x, span_z) — spans in world meters, used
+    by factors_from_sun_shear_map's world->map mapping.
+    """
+    d = jnp.asarray(light_direction, jnp.float32)
+    d = d / jnp.sqrt(jnp.sum(d * d) + 1e-20)
+    drop = jnp.maximum(-d[1], 1e-3)  # meters of fall per unit travel
+    kx = jnp.clip(d[0] / drop, -k_max, k_max)
+    kz = jnp.clip(d[2] / drop, -k_max, k_max)
+    # row-vector shear: ground = (x + y*kx, z + y*kz), height untouched
+    shear = jnp.array(
+        [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ],
+        jnp.float32,
+    )
+    shear = shear.at[1, 0].set(kx).at[1, 2].set(kz)
+    span_x = world_size + 2.0 * max_height * jnp.abs(kx)
+    span_z = world_size + 2.0 * max_height * jnp.abs(kz)
+    # overhead ortho with pixel centers on the span's texel lattice
+    # (mesh_top_field's construction, shadow.py:165-170); pixel columns
+    # increase with +x (sheared), rows with +z
+    eye = jnp.asarray([0.0, _SHEAR_EYE_H, 0.0], jnp.float32)
+    target = jnp.zeros(3, jnp.float32)
+    up = jnp.asarray([0.0, 0.0, -1.0], jnp.float32)
+    w2v = math3d.look_at(eye, target, up)
+    ext_x = span_x * 0.5 + span_x / (resolution - 1) * 0.5
+    ext_z = span_z * 0.5 + span_z / (resolution - 1) * 0.5
+    proj = math3d.ortho_proj_d3d_style(
+        -ext_x, ext_x, -ext_z, ext_z, 1.0, _SHEAR_FAR
+    )
+    wtc = shear @ math3d.view_proj(w2v, proj)
+    return wtc, kx, kz, span_x, span_z
+
+
+# sheared light view constants: depth z01 maps linearly to world height
+# as h = EYE_H - (1 + z * (FAR - 1))
+_SHEAR_EYE_H = 1.0e4
+_SHEAR_FAR = 2.0e4
+
+
+def shear_map_heights(depth_map: jnp.ndarray,
+                      covered: jnp.ndarray) -> jnp.ndarray:
+    """Sheared-view z01 depth map -> occluder-height map S0 (world
+    meters; -1e9 where no occluder). S0(u, v) is the highest occluder
+    on the sun-ray bundle grounding at texel (u, v) — the shadow-line
+    field at ground level."""
+    h = _SHEAR_EYE_H - (1.0 + depth_map * (_SHEAR_FAR - 1.0))
+    return jnp.where(covered, h, -1e9)
+
+
+def factors_from_sun_shear_map(
+    s0: jnp.ndarray,           # (R, R) occluder heights (shear_map_heights)
+    heightmap: jnp.ndarray,    # (H, W) in [0, 1]
+    max_height: jnp.ndarray,
+    world_size: float,
+    kx: jnp.ndarray,
+    kz: jnp.ndarray,
+    span_x: jnp.ndarray,       # map world spans (sun_shear_matrices)
+    span_z: jnp.ndarray,
+    sun_up: jnp.ndarray,       # scalar: sun above horizon? (y component)
+    num_slabs: int = 17,
+    bias: float = 2.0,
+    pcf_px: float = 1.0,
+) -> jnp.ndarray:
+    """Terrain shadow factors from the sheared light-view map — the PCF
+    step of the reference's DeferredLightingPass (Renderer.cpp:417-428)
+    restructured for the terrain-lattice receiver set.
+
+    A receiver at (x, h, z) grounds its sun ray at (x + h*kx, z + h*kz)
+    and is lit when h + bias clears S0 there. For a FIXED height h the
+    sample set over the terrain lattice is a regular grid (constant
+    offset), so each of ``num_slabs`` height slabs is one SEPARABLE
+    bilinear sample (two matmuls); the per-texel factor interpolates the
+    two bracketing slabs' comparison results (compare-then-filter, the
+    PCF ordering) with 4 half-texel spatial taps folded into the same
+    passes. O(num_slabs * R * H * W) MXU FLOPs — ~25x less than
+    per-point sampling at 2048^2/256^2.
+    """
+    from vrenderer_tpu.ops import texture
+
+    R = s0.shape[0]
+    Ht, Wt = heightmap.shape
+    h_world = heightmap * max_height
+    gx = jnp.linspace(-world_size / 2, world_size / 2, Wt)
+    gz = jnp.linspace(-world_size / 2, world_size / 2, Ht)
+    dh = max_height / (num_slabs - 1)
+
+    # 4 PCF taps at +-pcf_px/2 map texels, folded pairwise: 2 row-interp
+    # matrices x 2 col-interp matrices
+    tap = 0.5 * pcf_px / (R - 1)
+
+    lit_slabs = []
+    for k in range(num_slabs):
+        hk = dh * k
+        u = (gx + hk * kx) / span_x + 0.5         # (Wt,)
+        v = (gz + hk * kz) / span_z + 0.5         # (Ht,)
+        acc = jnp.zeros((Ht, Wt), jnp.float32)
+        for du in (-tap, tap):
+            for dv in (-tap, tap):
+                sk = texture.sample_separable(
+                    s0, u + du, v + dv,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                  # (Ht, Wt)
+                acc = acc + (
+                    h_world + bias >= sk
+                ).astype(jnp.float32)
+        lit_slabs.append(acc * 0.25)
+    lit_k = jnp.stack(lit_slabs, axis=0)          # (num_slabs, Ht, Wt)
+
+    # per-texel hat blend between the two bracketing slabs
+    t = jnp.clip(h_world / dh, 0.0, num_slabs - 1)
+    kf = jnp.arange(num_slabs, dtype=jnp.float32)[:, None, None]
+    wk = jnp.maximum(0.0, 1.0 - jnp.abs(t[None] - kf))
+    lit = jnp.sum(wk * lit_k, axis=0)
+    return jnp.where(sun_up > 0.0, lit, jnp.zeros_like(lit))
+
+
 def light_view_matrices(
     light_direction: jnp.ndarray,  # (3,)
     world_size: float,
