@@ -34,6 +34,13 @@ class TerrainSettings:
     # node width halving per level), so a 16-node window always covers the
     # reachable set; see terrain/quadtree.py.
     select_window: int = 16
+    # Texel addressing for heightmap/albedo/shadow sampling:
+    # "lattice" (uv*(size-1), texel centers on the world grid — right for
+    # procedural assets) or "d3d" (uv*size - 0.5 + clamp, the reference's
+    # SampleLevel semantics, terrain_vs.hlsl:32 — select to pixel-diff
+    # against reference captures; validated against torch grid_sample in
+    # tests/test_texture_d3d.py).
+    uv_mode: str = "lattice" 
 
     def __post_init__(self):
         # Mirrors the reference's static_assert (TerrainPass.h:30).

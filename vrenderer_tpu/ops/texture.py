@@ -18,11 +18,19 @@ here is restructured:
 * ``sample_points`` is the exact-but-slow per-point path (XLA gather),
   kept for tests and oracles.
 
-All samplers use the reference's linear-clamp addressing with texel
-centers at integer coordinates under ``uv * (size - 1)`` mapping. Note:
-D3D maps uv to texel centers as uv*size - 0.5; donut's terrain textures
-are sampled with clamp and low-frequency content, and the framework keeps
-one consistent convention (uv*(size-1)) across vertex and oracle paths.
+Texel addressing has two modes, selected by ``mode``:
+
+* ``"lattice"`` (default): texel centers at integer coordinates under
+  ``uv * (size - 1)``. One consistent convention across vertex and
+  oracle paths; right for procedural assets sampled on their own
+  lattice (heightmap texels ARE world-grid points).
+* ``"d3d"``: the reference's hardware convention — texel centers at
+  half-integers under ``uv * size - 0.5`` with clamp (border)
+  addressing (SampleLevel + linear-clamp sampler, terrain_vs.hlsl:32,
+  terrain_ps.hlsl:23). Identical to torch ``grid_sample`` with
+  ``align_corners=False, padding_mode="border"`` (tested against it in
+  tests/test_texture_d3d.py). Select per-world via
+  ``TerrainSettings.uv_mode`` to pixel-diff against reference captures.
 """
 
 from __future__ import annotations
@@ -31,16 +39,24 @@ import jax
 import jax.numpy as jnp
 
 
-def texel_coords(u: jnp.ndarray, size: int) -> jnp.ndarray:
+def texel_coords(u: jnp.ndarray, size: int, mode: str = "lattice"
+                 ) -> jnp.ndarray:
     """uv in [0,1] -> continuous texel coordinate with clamp addressing."""
+    if mode == "d3d":
+        # D3D11 linear-clamp: centers at i + 0.5 under uv*size; clamping
+        # the CONTINUOUS coordinate to [0, size-1] reproduces border
+        # addressing for the 2-tap bilinear weights
+        return jnp.clip(u * size - 0.5, 0.0, size - 1)
+    assert mode == "lattice", f"unknown texel addressing mode {mode!r}"
     return jnp.clip(u, 0.0, 1.0) * (size - 1)
 
 
-def interp_matrix(u: jnp.ndarray, size: int) -> jnp.ndarray:
+def interp_matrix(u: jnp.ndarray, size: int, mode: str = "lattice"
+                  ) -> jnp.ndarray:
     """Bilinear weights matrix: (..., n, size) with w[i, t] the weight of
     texel t for sample u[i]. Built from a broadcasted compare, no gather.
     """
-    x = texel_coords(u, size)  # (..., n)
+    x = texel_coords(u, size, mode)  # (..., n)
     t = jnp.arange(size, dtype=x.dtype)  # (size,)
     d = jnp.abs(x[..., :, None] - t)  # (..., n, size)
     return jnp.maximum(0.0, 1.0 - d)
@@ -49,6 +65,7 @@ def interp_matrix(u: jnp.ndarray, size: int) -> jnp.ndarray:
 def sample_separable(
     tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     precision=jax.lax.Precision.HIGHEST,
+    mode: str = "lattice",
 ) -> jnp.ndarray:
     """Sample tex at the grid (v x u) of uv coordinates.
 
@@ -60,8 +77,8 @@ def sample_separable(
     normals); callers with tolerant channels may lower it.
     """
     H, W = tex.shape[0], tex.shape[1]
-    au = interp_matrix(u, W)  # (..., nu, W)
-    av = interp_matrix(v, H)  # (..., nv, H)
+    au = interp_matrix(u, W, mode)  # (..., nu, W)
+    av = interp_matrix(v, H, mode)  # (..., nv, H)
     if tex.ndim == 2:
         tmp = jnp.einsum("...vh,hw->...vw", av, tex, precision=precision)
         return jnp.einsum("...vw,...uw->...vu", tmp, au, precision=precision)
@@ -72,6 +89,7 @@ def sample_separable(
 def sample_points_matmul(
     tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     precision=jax.lax.Precision.HIGHEST,
+    mode: str = "lattice",
 ) -> jnp.ndarray:
     """Exact bilinear sample at arbitrary (u, v) points, gather-free.
 
@@ -84,8 +102,8 @@ def sample_points_matmul(
     tex: (H, W) or (H, W, C); u, v: (n,). Returns (n,) or (n, C).
     """
     H, W = tex.shape[0], tex.shape[1]
-    av = interp_matrix(v, H)  # (n, H)
-    au = interp_matrix(u, W)  # (n, W)
+    av = interp_matrix(v, H, mode)  # (n, H)
+    au = interp_matrix(u, W, mode)  # (n, W)
     if tex.ndim == 2:
         tmp = jnp.matmul(av, tex, precision=precision)      # (n, W)
         return jnp.sum(tmp * au, axis=-1)
@@ -93,15 +111,16 @@ def sample_points_matmul(
     return jnp.sum(tmp * au[..., None], axis=1)
 
 
-def sample_points(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def sample_points(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                  mode: str = "lattice") -> jnp.ndarray:
     """Exact bilinear sample at arbitrary (u, v) points via gather.
 
     Slow on TPU — for tests/oracles and tiny point sets only.
     tex: (H, W) or (H, W, C); u, v: (...,). Returns (...,) or (..., C).
     """
     H, W = tex.shape[0], tex.shape[1]
-    x = texel_coords(u, W)
-    y = texel_coords(v, H)
+    x = texel_coords(u, W, mode)
+    y = texel_coords(v, H, mode)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, W - 1)

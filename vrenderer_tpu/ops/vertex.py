@@ -159,12 +159,14 @@ def vertex_stage(
     # matmul pair instead of three.
     if nrm_field is None:
         nrm_field = normal_fields(heightmap)
-    h = texture.sample_separable(heightmap, u, v)                  # (I,S,S)
+    uv_mode = getattr(settings, "uv_mode", "lattice")
+    h = texture.sample_separable(heightmap, u, v, mode=uv_mode)    # (I,S,S)
     vis = jax.lax.Precision.DEFAULT
     vis_tex = jnp.concatenate(
         [albedo, nrm_field, shadow_field[..., None]], axis=-1
     )                                                              # (H,W,7)
-    vis_s = texture.sample_separable(vis_tex, u, v, precision=vis)
+    vis_s = texture.sample_separable(vis_tex, u, v, precision=vis,
+                                     mode=uv_mode)
     alb = vis_s[..., 0:3]
     nrm = vis_s[..., 3:6]
     shad = vis_s[..., 6]
@@ -245,5 +247,7 @@ def vertex_stage_exact(
 
     u = texture.world_to_uv(x_m, world)
     v = texture.world_to_uv(z_m, world)
-    y = texture.sample_points(heightmap, u, v) * max_height
+    y = texture.sample_points(
+        heightmap, u, v, mode=getattr(settings, "uv_mode", "lattice")
+    ) * max_height
     return jnp.stack([x_m, y, z_m], axis=-1)
