@@ -118,6 +118,32 @@ def test_pallas_windowed_compaction_matches_oracle():
     )
 
 
+def test_depth_only_kernel_matches_full_z():
+    """rasterize_pallas_depth (the light-view shadow raster variant) must
+    produce bit-identical z to the full kernel — same compaction dots on
+    the eval-channel subset, same min-merge."""
+    inst, vout, setup, vc = _scene([25.0, 8.0, 25.0], [-10.0, 2.0, -10.0])
+    T = SET.tris_per_instance
+    I = SET.max_instances
+    packed = raster_pallas.pack_tri_data(setup, I, T, tri_batch=64)
+    bbox, usable, dist = raster_pallas.instance_screen_bbox(
+        vout.world, vc["world_to_clip"], W, H, inst.valid
+    )
+    work = raster_pallas.build_work_list(
+        bbox, usable, W, H, tile=128, tris_per_inst=T, max_work=256,
+        order_key=dist, packed=packed, compact_k=16,
+    )
+    z_full, _, _, _ = raster_pallas.rasterize_pallas(
+        packed, work, W, H, tile=128, sub_h=8, compact_k=16,
+        max_work=256, interpret=True,
+    )
+    z_d = raster_pallas.rasterize_pallas_depth(
+        packed, work, W, H, tile=128, sub_h=8, compact_k=16,
+        max_work=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(z_d), np.asarray(z_full))
+
+
 def test_work_list_structure():
     inst, vout, setup, vc = _scene([0.0, 20.0, 40.0], [0.0, 0.0, 0.0])
     bbox, usable, dist = raster_pallas.instance_screen_bbox(

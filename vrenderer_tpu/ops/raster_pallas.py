@@ -611,14 +611,8 @@ def _raster_kernel(
     data_ref,     # (1, 48, T) f32 — one instance's packed tri data,
                   #   component-major (T on lanes)
     cols_ref,     # (1, 8, T) f32 — bbox/valid columns, lane-major
-    z_ref,        # (TILE, TILE) out
-    id_ref,       # (TILE, TILE) int32 out
-    attr_ref,     # (16, TILE, TILE) out
-    z_scr,        # scratch (n_cell, cell_px) f32 — lane-major cell depth
-    id_scr,       # scratch (n_cell, cell_px) i32
-    coef_acc,     # scratch (n_cell, 32, cell_px) f32
-    ranks,        # scratch (n_cell, T) f32 — masked compaction ranks
-    *,
+    *refs,        # full: z/id/attr outs + z/id/coef/ranks scratch;
+                  # depth_only: z out + z/ranks scratch
     tile: int,
     sub_h: int,
     compact_k: int,
@@ -626,7 +620,13 @@ def _raster_kernel(
     reverse_z: bool,
     wire_px: float,
     win_w: int,
+    depth_only: bool = False,
 ):
+    if depth_only:
+        z_ref, z_scr, ranks = refs
+        id_ref = attr_ref = id_scr = coef_acc = None
+    else:
+        z_ref, id_ref, attr_ref, z_scr, id_scr, coef_acc, ranks = refs
     w = pl.program_id(0)
     first = meta_ref[2, w]
     last = meta_ref[3, w]
@@ -648,8 +648,9 @@ def _raster_kernel(
     @pl.when(first == 1)
     def _init_tile():
         z_scr[:] = jnp.full((n_cell, P), worst, jnp.float32)
-        id_scr[:] = jnp.full((n_cell, P), _BIG_ID, jnp.int32)
-        coef_acc[:] = jnp.zeros_like(coef_acc)
+        if not depth_only:
+            id_scr[:] = jnp.full((n_cell, P), _BIG_ID, jnp.int32)
+            coef_acc[:] = jnp.zeros_like(coef_acc)
 
     kiota = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
 
@@ -674,8 +675,22 @@ def _raster_kernel(
     def _run_item():
         # per-item prep: the 3-term bf16 split of the instance's tri data
         # (hoisting this host-side costs ~5 GB/frame of HBM traffic and
-        # 50% more DMA per item; here it is a few VPU passes over VMEM)
-        d_hi, d_mid, d_lo = _split3_bf16(data_ref[0])  # (48, T) bf16
+        # 50% more DMA per item; here it is a few VPU passes over VMEM).
+        # depth_only pulls just the 19 eval channels (edges, z plane,
+        # valid, ids(unused)+bbox block) — the compaction dots shrink
+        # 48 -> 19 columns and the winner swap disappears entirely; each
+        # retained output row is bit-identical to the full kernel's.
+        if depth_only:
+            deval = jnp.concatenate(
+                [data_ref[0, _R_EDGE:_R_COEF, :],
+                 data_ref[0, _R_VALID:_R_BBOX + 4, :]], axis=0
+            )                                          # (19, T)
+            r_valid = _R_COEF                          # 12
+            r_bbox = _R_COEF + (_R_BBOX - _R_VALID)    # 15
+        else:
+            deval = data_ref[0]
+            r_valid, r_bbox = _R_VALID, _R_BBOX
+        d_hi, d_mid, d_lo = _split3_bf16(deval)        # (48|19, T) bf16
 
         # cell incidence masks -> compaction ranks. A cell is a
         # (sub_h x win_w)-px block of the supertile (win_w == tile
@@ -738,8 +753,8 @@ def _raster_kernel(
                     preferred_element_type=jnp.float32,
                 )
                 # ascending-term sum: lo, then mid, then hi
-                blk = (p_lo + p_mid) + p_hi           # (K, 48) f32
-                live = blk[:, _R_VALID:_R_VALID + 1] > 0.5
+                blk = (p_lo + p_mid) + p_hi           # (K, 48|19) f32
+                live = blk[:, r_valid:r_valid + 1] > 0.5
 
                 # edge/z evaluation as VPU broadcast-FMA from the
                 # compacted coefficient COLUMNS: (K, 1) x (1, P) lane
@@ -775,10 +790,10 @@ def _raster_kernel(
                 pxi = pxc - 0.5
                 pyi = pyc - 0.5
                 in_bb = (
-                    (pxi >= blk[:, _R_BBOX:_R_BBOX + 1])
-                    & (pxi <= blk[:, _R_BBOX + 2:_R_BBOX + 3])
-                    & (pyi >= blk[:, _R_BBOX + 1:_R_BBOX + 2])
-                    & (pyi <= blk[:, _R_BBOX + 3:_R_BBOX + 4])
+                    (pxi >= blk[:, r_bbox:r_bbox + 1])
+                    & (pxi <= blk[:, r_bbox + 2:r_bbox + 3])
+                    & (pyi >= blk[:, r_bbox + 1:r_bbox + 2])
+                    & (pyi <= blk[:, r_bbox + 3:r_bbox + 4])
                 )
                 cover = (
                     (jnp.minimum(edge_min, zq) >= 0.0)
@@ -792,6 +807,18 @@ def _raster_kernel(
                     z_best = jnp.max(zv, axis=0, keepdims=True)
                 else:
                     z_best = jnp.min(zv, axis=0, keepdims=True)
+
+                if depth_only:
+                    # depth test only: no winner identity, no attribute
+                    # swap — just the running min/max merge (identical z
+                    # to the full kernel: ties write the same value)
+                    zs = z_scr[pl.ds(c, 1), :]
+                    if reverse_z:
+                        z_scr[pl.ds(c, 1), :] = jnp.maximum(z_best, zs)
+                    else:
+                        z_scr[pl.ds(c, 1), :] = jnp.minimum(z_best, zs)
+                    return 0
+
                 idx = jnp.min(
                     jnp.where(zv == z_best, kiota, K), axis=0,
                     keepdims=True,
@@ -858,25 +885,30 @@ def _raster_kernel(
         # z/id: cell-major scratch -> row-major tile. With windows the
         # (sub_h, win_w) cell blocks are stitched back with lane-axis
         # concats (finalize runs once per tile — relayout cost is off the
-        # hot loop).
+        # hot loop). NOTE win_w < 128 does not lower on hardware (Mosaic
+        # minor-dim-128 reshape rule; interpret-only).
+        def stitch(src):
+            rows = []
+            for s in range(n_sub):
+                rows.append(jnp.concatenate(
+                    [src[s * n_win + wi:s * n_win + wi + 1, :]
+                     .reshape(sub_h, win_w) for wi in range(n_win)],
+                    axis=1,
+                ))
+            return jnp.concatenate(rows, axis=0)  # (tile, tile)
+
         if n_win == 1:
             z_ref[:] = z_scr[:].reshape(tile, tile)
-            idf = pltpu.bitcast(id_scr[:], jnp.float32)
-            id_ref[:] = pltpu.bitcast(idf.reshape(tile, tile), jnp.int32)
         else:
-            idf_all = pltpu.bitcast(id_scr[:], jnp.float32)  # (n_cell, P)
-
-            def stitch(src):
-                rows = []
-                for s in range(n_sub):
-                    rows.append(jnp.concatenate(
-                        [src[s * n_win + wi:s * n_win + wi + 1, :]
-                         .reshape(sub_h, win_w) for wi in range(n_win)],
-                        axis=1,
-                    ))
-                return jnp.concatenate(rows, axis=0)  # (tile, tile)
-
             z_ref[:] = stitch(z_scr[:])
+        if depth_only:
+            return
+        idf_all = pltpu.bitcast(id_scr[:], jnp.float32)  # (n_cell, P)
+        if n_win == 1:
+            id_ref[:] = pltpu.bitcast(
+                idf_all.reshape(tile, tile), jnp.int32
+            )
+        else:
             id_ref[:] = pltpu.bitcast(stitch(idf_all), jnp.int32)
         dxl = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
         for s in range(n_sub):
@@ -1009,3 +1041,87 @@ def rasterize_pallas(
     denom = jnp.where(jnp.abs(inv_w) > 1e-20, inv_w, 1.0)
     attrs = jnp.moveaxis(attr[1:9], 0, -1) / denom[..., None]
     return z, idb, attrs, inv_w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
+        "max_work", "interpret", "win_w",
+    ),
+)
+def rasterize_pallas_depth(
+    packed: PackedTris,
+    work: WorkList,
+    width: int,
+    height: int,
+    tile: int = 128,
+    sub_h: int = 8,
+    compact_k: int = 32,
+    reverse_z: bool = False,
+    max_work: int = 2048,
+    interpret: bool = False,
+    win_w: int = 128,
+):
+    """Depth-only variant of rasterize_pallas for light-view shadow
+    rasters (the reference's depth-only TerrainPass run,
+    Renderer.cpp:354-367 / TerrainPass.h:40 depthOnly PipelineKey bit):
+    no winner identity, no attribute swap dots, no coefficient
+    accumulator, and the compaction dots pull only the 19 eval channels
+    — roughly half the full kernel's per-round work and none of its
+    attribute output traffic. Returns z (H, W) f32 with background at
+    F32_FAR; z is bit-identical to rasterize_pallas's z channel."""
+    tri_data = packed.tri_data
+    I, C, T = tri_data.shape
+    assert C == _R_TOTAL
+    n_cell = (tile // sub_h) * (tile // win_w)
+    assert work.sub_rounds.shape[0] == n_cell
+    smem_bytes = (9 + n_cell) * max_work * 4
+    assert smem_bytes < 900_000
+    pad_w = -(-width // tile) * tile
+    pad_h = -(-height // tile) * tile
+    P = sub_h * win_w
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(max_work,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, _R_TOTAL, T),
+                lambda w, meta, sr: (meta[1, w], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, _C_ROWS, T), lambda w, meta, sr: (meta[1, w], 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_cell, P), jnp.float32),
+            pltpu.VMEM((n_cell, T), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _raster_kernel,
+        tile=tile,
+        sub_h=sub_h,
+        compact_k=compact_k,
+        tris_per_inst=T,
+        reverse_z=reverse_z,
+        wire_px=0.0,
+        win_w=win_w,
+        depth_only=True,
+    )
+    z = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(work.meta, work.sub_rounds, tri_data, packed.tri_cols)[0]
+    return z[:height, :width]

@@ -732,7 +732,7 @@ class Renderer:
             compact_k=cfg.raster.compact_k,
             win_w=cfg.raster.win_w,
         )
-        z, _, _, _ = raster_pallas.rasterize_pallas(
+        z = raster_pallas.rasterize_pallas_depth(
             packed, work, res, res, tile=cfg.raster.tile_w,
             sub_h=cfg.raster.subtile_h, compact_k=cfg.raster.compact_k,
             win_w=cfg.raster.win_w,
