@@ -79,7 +79,11 @@ def build():
     # Pipeline cost scales with the budget, not the selection capacity —
     # the analog of the reference drawing numNodes instances out of its
     # 4096-slot buffer (TerrainPass.cpp:215-222).
-    max_active = {"envelope": 1024}.get(MODE, 512)
+    # map mode: the LIGHT pass culls against the sheared sun frustum,
+    # which spans the whole world — its selection runs 544-592 over the
+    # flythrough (CPU-probed), above the 512 budget that fits the main
+    # camera; the frame surfaces that as overflow, so the budget rises
+    max_active = {"envelope": 1024, "map": 768}.get(MODE, 512)
     max_work = 4096 if HEIGHT > 1200 else 2048
     if MODE == "envelope":
         max_work = 6144

@@ -219,3 +219,36 @@ def test_sun_below_horizon_all_dark():
     assert float(jnp.max(lit)) == 0.0
     f = shadow.shadow_line_factor(jnp.full((4,), 1e6), sline[:4, 0])
     assert float(jnp.max(f)) == 0.0
+
+
+def test_map_mode_shadow_budget_overflow_is_surfaced():
+    """The light frustum spans the whole world, so the shadow pass can
+    select more nodes than max_active even when the main camera's
+    selection fits. Truncating that silently would drop occluders
+    (holes of missing shadow); the frame must raise overflow instead."""
+    from vrenderer_tpu.config import FrameConfig, TerrainSettings
+    from vrenderer_tpu.renderer import Renderer, FrameParams
+    from vrenderer_tpu.camera import Camera
+    from vrenderer_tpu.terrain import heightmap as hmod
+
+    hm01 = hmod.procedural_heightmap(64, seed=5)
+    cfg = FrameConfig(
+        width=256, height=128,
+        terrain=TerrainSettings(surface_size=64, world_size=64,
+                                max_instances=64, grid_size=8),
+        shadow_mode="map", shadow_resolution=128,
+    )
+    alb = hmod.procedural_albedo(hm01)
+    # a narrow main view selects few nodes; budget below the light
+    # pass's whole-world selection
+    r = Renderer(cfg, hm01, alb, raster_backend="xla", max_active=4)
+    cam = Camera(
+        eye=jnp.array([0.0, 25.0, 45.0], jnp.float32),
+        target=jnp.array([0.0, 2.0, 0.0], jnp.float32),
+        up=jnp.array([0.0, 1.0, 0.0], jnp.float32),
+    )
+    params = FrameParams.default()._replace(max_height=jnp.float32(12.0))
+    out = r.render(cam, params)
+    assert bool(out.overflow), (
+        "shadow-pass selection beyond max_active must surface overflow"
+    )

@@ -202,11 +202,7 @@ class App:
                 depth_map, _, _, _, shear = r._light_depth_pass(
                     p2, vc["camera_pos"]
                 )
-                s0 = shadow.shear_map_heights(depth_map, depth_map < 2.0)
-                return shadow.factors_from_sun_shear_map(
-                    s0, r.heightmap, p2.max_height,
-                    float(ts.world_size), *shear, -lx[1],
-                )
+                return r.shadow_field_from_map(depth_map, shear, p2)
 
             timer.measure(
                 "Cascade ShadowMap", full_shadow_phase,

@@ -143,6 +143,64 @@ def _split3_bf16(x: jnp.ndarray):
     )
 
 
+def _cols_and_batch_meta(okf, bbox, zplane, tri_batch):
+    """tri_cols (I, 8, T) + batch_meta (I, nb, 8) from (I, T) component
+    maps: ``bbox`` = (x0, y0, x1, y1) per-tri pixel bboxes, ``zplane`` =
+    (a, b, c) of the z plane. ONE implementation for both packers
+    (pack_tri_data / pack_components) — the kernel's subtile masks and
+    the work-list builder's early-z bounds must agree with it exactly.
+
+    batch_meta: per-tri_batch conservative screen bbox + z range
+    (item-level early-z bound). Component form throughout: (I, nb, B)
+    maps, never a 4-wide minor axis (tiny trailing dims land in padded
+    TPU tiles). The z range evaluates the affine z plane at the four
+    bbox corners of each tri (extrema of an affine map on a box)."""
+    I, T = okf.shape
+    zero_ch = jnp.zeros((I, T), jnp.float32)
+
+    def col(c, fill):
+        return jnp.where(okf, bbox[c], fill)
+
+    tri_cols = jnp.stack(
+        [col(0, _FAR), col(1, _FAR), col(2, -_FAR), col(3, -_FAR),
+         okf.astype(jnp.float32), zero_ch, zero_ch, zero_ch],
+        axis=1,
+    )  # (I, 8, T)
+
+    nb = T // tri_batch
+    vb = okf.reshape(I, nb, tri_batch)
+
+    def bcol(c, fill):
+        return jnp.where(vb, bbox[c].reshape(I, nb, tri_batch), fill)
+
+    tx0 = bcol(0, _FAR)
+    ty0 = bcol(1, _FAR)
+    tx1 = bcol(2, -_FAR)
+    ty1 = bcol(3, -_FAR)
+    bx0 = jnp.min(tx0, axis=-1)
+    by0 = jnp.min(ty0, axis=-1)
+    bx1 = jnp.max(tx1, axis=-1)
+    by1 = jnp.max(ty1, axis=-1)
+    za = jnp.where(vb, zplane[0].reshape(I, nb, tri_batch), 0.0)
+    zb = jnp.where(vb, zplane[1].reshape(I, nb, tri_batch), 0.0)
+    zc_ = jnp.where(vb, zplane[2].reshape(I, nb, tri_batch), 0.0)
+    zmin_t = jnp.full_like(za, _FAR)
+    zmax_t = jnp.full_like(za, -_FAR)
+    for xi, yi in ((tx0, ty0), (tx0, ty1), (tx1, ty0), (tx1, ty1)):
+        zq = za * xi + zb * yi + zc_
+        zmin_t = jnp.minimum(zmin_t, zq)
+        zmax_t = jnp.maximum(zmax_t, zq)
+    zmin_t = jnp.where(vb, zmin_t, _FAR)
+    zmax_t = jnp.where(vb, zmax_t, -_FAR)
+    bzmin = jnp.min(zmin_t, axis=-1)
+    bzmax = jnp.max(zmax_t, axis=-1)
+    zero_b = jnp.zeros_like(bx0)
+    batch_meta = jnp.stack(
+        [bx0, by0, bx1, by1, bzmin, bzmax, zero_b, zero_b], axis=-1
+    )
+    return tri_cols, batch_meta
+
+
 def pack_tri_data(
     setup: TriSetup, num_instances: int, tris_per_inst: int,
     tri_batch: int = 128,
@@ -187,53 +245,11 @@ def pack_tri_data(
     chans += [zero_ch] * (_R_TOTAL - _R_BBOX - 4)
     tri_data = jnp.stack(chans, axis=1)  # (I, 48, T)
 
-    # lane-major bbox/valid columns for in-kernel subtile masks
-    def col(c, fill):
-        return jnp.where(okf, setup.bbox[:, c].reshape(I, T), fill)
-
-    tri_cols = jnp.stack(
-        [col(0, _FAR), col(1, _FAR), col(2, -_FAR), col(3, -_FAR),
-         okf.astype(jnp.float32), zero_ch, zero_ch, zero_ch],
-        axis=1,
-    )  # (I, 8, T)
-
-    # per-batch conservative screen bbox + z range (work-list builder:
-    # item-level early-z bound). Component form: (I, nb, B) maps, never
-    # a 4-wide minor axis (tiny trailing dims land in padded TPU tiles).
-    nb = tris_per_inst // tri_batch
-    vb = okf.reshape(I, nb, tri_batch)
-
-    def bcol(c, fill):
-        return jnp.where(
-            vb, setup.bbox[:, c].reshape(I, nb, tri_batch), fill
-        )
-
-    tx0 = bcol(0, _FAR)
-    ty0 = bcol(1, _FAR)
-    tx1 = bcol(2, -_FAR)
-    ty1 = bcol(3, -_FAR)
-    bx0 = jnp.min(tx0, axis=-1)
-    by0 = jnp.min(ty0, axis=-1)
-    bx1 = jnp.max(tx1, axis=-1)
-    by1 = jnp.max(ty1, axis=-1)
-    # conservative batch z-range from the z plane evaluated at bbox
-    # corners of each tri (z is affine, extrema at corners)
-    za = jnp.where(vb, setup.planes[:, 0, 0].reshape(I, nb, tri_batch), 0.0)
-    zb = jnp.where(vb, setup.planes[:, 0, 1].reshape(I, nb, tri_batch), 0.0)
-    zc_ = jnp.where(vb, setup.planes[:, 0, 2].reshape(I, nb, tri_batch), 0.0)
-    zmin_t = jnp.full_like(za, _FAR)
-    zmax_t = jnp.full_like(za, -_FAR)
-    for xi, yi in ((tx0, ty0), (tx0, ty1), (tx1, ty0), (tx1, ty1)):
-        zq = za * xi + zb * yi + zc_
-        zmin_t = jnp.minimum(zmin_t, zq)
-        zmax_t = jnp.maximum(zmax_t, zq)
-    zmin_t = jnp.where(vb, zmin_t, _FAR)
-    zmax_t = jnp.where(vb, zmax_t, -_FAR)
-    bzmin = jnp.min(zmin_t, axis=-1)
-    bzmax = jnp.max(zmax_t, axis=-1)
-    zero_b = jnp.zeros_like(bx0)
-    batch_meta = jnp.stack(
-        [bx0, by0, bx1, by1, bzmin, bzmax, zero_b, zero_b], axis=-1
+    tri_cols, batch_meta = _cols_and_batch_meta(
+        okf,
+        tuple(setup.bbox[:, c].reshape(I, T) for c in range(4)),
+        tuple(setup.planes[:, 0, c].reshape(I, T) for c in range(3)),
+        tri_batch,
     )
     return PackedTris(
         tri_data=tri_data, tri_cols=tri_cols, batch_meta=batch_meta
@@ -278,47 +294,9 @@ def pack_components(
     chans += [zero_ch] * (_R_TOTAL - _R_BBOX - 4)
     tri_data = jnp.stack(chans, axis=1)  # (I, 48, T)
 
-    def col(c, fill):
-        return jnp.where(okf, comp.bbox[c], fill)
-
-    tri_cols = jnp.stack(
-        [col(0, _FAR), col(1, _FAR), col(2, -_FAR), col(3, -_FAR),
-         okf.astype(jnp.float32), zero_ch, zero_ch, zero_ch],
-        axis=1,
-    )  # (I, 8, T)
-
-    # per-batch conservative screen bbox + z range (same math as
-    # pack_tri_data, reading component maps directly)
-    nb = T // tri_batch
-    vb = okf.reshape(I, nb, tri_batch)
-
-    def bcol(c, fill):
-        return jnp.where(vb, comp.bbox[c].reshape(I, nb, tri_batch), fill)
-
-    tx0 = bcol(0, _FAR)
-    ty0 = bcol(1, _FAR)
-    tx1 = bcol(2, -_FAR)
-    ty1 = bcol(3, -_FAR)
-    bx0 = jnp.min(tx0, axis=-1)
-    by0 = jnp.min(ty0, axis=-1)
-    bx1 = jnp.max(tx1, axis=-1)
-    by1 = jnp.max(ty1, axis=-1)
-    za = jnp.where(vb, zpl[0].reshape(I, nb, tri_batch), 0.0)
-    zb = jnp.where(vb, zpl[1].reshape(I, nb, tri_batch), 0.0)
-    zc_ = jnp.where(vb, zpl[2].reshape(I, nb, tri_batch), 0.0)
-    zmin_t = jnp.full_like(za, _FAR)
-    zmax_t = jnp.full_like(za, -_FAR)
-    for xi, yi in ((tx0, ty0), (tx0, ty1), (tx1, ty0), (tx1, ty1)):
-        zq = za * xi + zb * yi + zc_
-        zmin_t = jnp.minimum(zmin_t, zq)
-        zmax_t = jnp.maximum(zmax_t, zq)
-    zmin_t = jnp.where(vb, zmin_t, _FAR)
-    zmax_t = jnp.where(vb, zmax_t, -_FAR)
-    bzmin = jnp.min(zmin_t, axis=-1)
-    bzmax = jnp.max(zmax_t, axis=-1)
-    zero_b = jnp.zeros_like(bx0)
-    batch_meta = jnp.stack(
-        [bx0, by0, bx1, by1, bzmin, bzmax, zero_b, zero_b], axis=-1
+    tri_cols, batch_meta = _cols_and_batch_meta(
+        okf, tuple(comp.bbox[c] for c in range(4)),
+        tuple(zpl[c] for c in range(3)), tri_batch,
     )
     return PackedTris(
         tri_data=tri_data, tri_cols=tri_cols, batch_meta=batch_meta
@@ -393,10 +371,12 @@ def instance_screen_bbox(
     xy, _, _ = math3d.clip_to_screen(clip, width, height)
     front = clip[..., 3] > w_eps
     big = 1e9
-    x0 = jnp.min(jnp.where(front, xy[..., 0], big), axis=1)
-    y0 = jnp.min(jnp.where(front, xy[..., 1], big), axis=1)
-    x1 = jnp.max(jnp.where(front, xy[..., 0], -big), axis=1)
-    y1 = jnp.max(jnp.where(front, xy[..., 1], -big), axis=1)
+    # 1px conservative pad, matching instance_bbox_components (the
+    # production path) so both binnings agree exactly
+    x0 = jnp.min(jnp.where(front, xy[..., 0], big), axis=1) - 1.0
+    y0 = jnp.min(jnp.where(front, xy[..., 1], big), axis=1) - 1.0
+    x1 = jnp.max(jnp.where(front, xy[..., 0], -big), axis=1) + 1.0
+    y1 = jnp.max(jnp.where(front, xy[..., 1], -big), axis=1) + 1.0
     any_front = jnp.any(front, axis=1)
     # an instance with verts on both sides of the near plane may own
     # clipless crossing triangles whose visible region extends beyond the

@@ -274,8 +274,16 @@ def sun_shear_matrices(
     d = jnp.asarray(light_direction, jnp.float32)
     d = d / jnp.sqrt(jnp.sum(d * d) + 1e-20)
     drop = jnp.maximum(-d[1], 1e-3)  # meters of fall per unit travel
-    kx = jnp.clip(d[0] / drop, -k_max, k_max)
-    kz = jnp.clip(d[2] / drop, -k_max, k_max)
+    kx = d[0] / drop
+    kz = d[2] / drop
+    # clamp the shear VECTOR magnitude, preserving direction: clamping
+    # the components independently would rotate the shadow azimuth for
+    # low azimuth-asymmetric suns (e.g. 10 deg elevation at 20 deg
+    # azimuth: kx binds, kz does not)
+    norm = jnp.sqrt(kx * kx + kz * kz)
+    scale = jnp.minimum(1.0, k_max / jnp.maximum(norm, 1e-6))
+    kx = kx * scale
+    kz = kz * scale
     # row-vector shear: ground = (x + y*kx, z + y*kz), height untouched
     shear = jnp.array(
         [

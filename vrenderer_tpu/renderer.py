@@ -124,6 +124,18 @@ class Renderer:
             heightmap = jnp.zeros((2, 2), jnp.float32)
         if albedo is None:
             albedo = jnp.zeros(heightmap.shape + (3,), jnp.float32)
+        if albedo.shape[:2] != heightmap.shape:
+            # the vertex stage samples albedo/normals/shadow as ONE
+            # stacked texture (one separable matmul pair instead of
+            # three), which requires a shared lattice — bake a
+            # differently-sized albedo onto the heightmap's lattice once
+            # at init (exact bilinear; static cost, off the frame path)
+            Ht, Wt = heightmap.shape
+            albedo = texture.sample_separable(
+                albedo,
+                jnp.linspace(0.0, 1.0, Wt),
+                jnp.linspace(0.0, 1.0, Ht),
+            )
         self.heightmap = heightmap
         self.albedo = albedo
         self.light = light
@@ -458,21 +470,12 @@ class Renderer:
         mesh_shadow_fn = None
         shadow_overflow = jnp.int32(0)
         if cfg.shadow_mode == "map":
-            (depth_map, wtc_l, z_range, shadow_items,
+            (depth_map, wtc_l, z_range, shadow_overflow,
              shear) = self._light_depth_pass(
                 params, vc["camera_pos"], scene_wa=scene_wa
             )
-            shadow_overflow = (shadow_items > self.max_work).astype(
-                jnp.int32
-            )
-            # terrain receivers are the heightmap lattice: slab-blend
-            # separable sampling of the sheared map (see
-            # shadow.factors_from_sun_shear_map) replaces per-point
-            # sampling (measured ~25x cheaper at 2048^2 / 256^2)
-            s0 = shadow.shear_map_heights(depth_map, depth_map < 2.0)
-            shadow_field = shadow.factors_from_sun_shear_map(
-                s0, self.heightmap, params.max_height, world_size,
-                *shear, -params.light_direction[1],
+            shadow_field = self.shadow_field_from_map(
+                depth_map, shear, params
             )
             if scene_wa is not None:
                 def mesh_shadow_fn(w):
@@ -659,6 +662,20 @@ class Renderer:
 
     # -- shadow-map fill pass (reference "Terrain Shadow" counter) ---------
 
+    def shadow_field_from_map(self, depth_map, shear, params):
+        """Terrain shadow factors from a sheared light-view depth map:
+        slab-blend separable sampling (shadow.factors_from_sun_shear_map)
+        replaces per-point sampling — measured ~25x cheaper at
+        2048^2 map / 256^2 receivers. One implementation for the frame
+        AND the profiler's "Cascade ShadowMap" counter (App
+        profile_passes), so the measured phase is the rendered one."""
+        s0 = shadow.shear_map_heights(depth_map, depth_map < 2.0)
+        return shadow.factors_from_sun_shear_map(
+            s0, self.heightmap, params.max_height,
+            float(self.config.terrain.world_size),
+            *shear, -params.light_direction[1],
+        )
+
     def _light_depth_pass(self, params: FrameParams,
                           camera_pos: Optional[jnp.ndarray] = None,
                           scene_wa=None):
@@ -669,7 +686,14 @@ class Renderer:
         projection (shadow.sun_shear_matrices) so terrain receivers can
         sample the map separably. Jittable; used by shadow_mode="map"
         and render_shadow_depth. Returns (depth (R, R) z01, world->clip,
-        z_range meters, overflow items, (kx, kz, span_x, span_z)).
+        z_range meters, overflow flag, (kx, kz, span_x, span_z)).
+
+        The overflow flag covers BOTH shadow-pass capacity limits: the
+        raster work list (> max_work) and the render budget — the light
+        frustum spans the whole world, so its selection can exceed
+        max_active even when the main camera's does not; truncating it
+        would silently drop occluders (holes of missing shadow), so it
+        is surfaced exactly like the main pass's budget overflow.
 
         LOD selection runs from the MAIN camera position when given, so
         shadow geometry matches view geometry (avoids LOD-mismatch acne);
@@ -720,7 +744,8 @@ class Renderer:
                     valid=jnp.concatenate([setup.valid, s_setup.valid]),
                 )
             z, _, _ = raster.rasterize_xla(setup, res, res)
-            return z, wtc, z_range, jnp.int32(0), shear
+            ovf = (instances.count > self.max_active).astype(jnp.int32)
+            return z, wtc, z_range, ovf, shear
         packed, bbox, usable, dist = self._packed_geometry(
             vout.world, vout.attrs, instances.valid, wtc, res, res,
             scene_wa=scene_wa,
@@ -738,7 +763,11 @@ class Renderer:
             win_w=cfg.raster.win_w,
             max_work=self.max_work, interpret=self.interpret,
         )
-        return z, wtc, z_range, work.num_items, shear
+        ovf = (
+            (work.num_items > self.max_work)
+            | (instances.count > self.max_active)
+        ).astype(jnp.int32)
+        return z, wtc, z_range, ovf, shear
 
     def render_shadow_depth(self, params: Optional[FrameParams] = None
                             ) -> jnp.ndarray:
