@@ -6,9 +6,14 @@ docs/PERFORMANCE.md. Three unknowns gate the design:
      offset) on a tall (P, 128) ref;
   2. (Pw, 1) x (1, K) broadcast FMA + lane min-reduce to (Pw, 1);
   3. (Pw, 1) -> (Pw/128, 128) reshape (sublane -> lane redistribution,
-     minor dim 128).
+     minor dim 128);
+  4. finalize transpose: x-major per-subtile state (tile_w, sub_h) ->
+     row-major (sub_h, tile_w) via jnp transpose in-kernel (needed once
+     per tile to emit row-major outputs from x-major state; transposes
+     are value-preserving, so int ids ride them as bitcast f32).
 
-Throwaway measurement tooling. Usage (TPU):
+Probes 1-3 passed exactly on v5e (2026-08-17). Probe 4 is the remaining
+gate. Throwaway measurement tooling. Usage (TPU):
   JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python scripts/probe_transposed.py
 """
 
@@ -39,6 +44,12 @@ def kernel(x_ref, o_ref):
     o_ref[pl.ds(p0 // 128, PW // 128), :] = r  # dyn sublane write
 
 
+def transpose_kernel(x_ref, o_ref):
+    # x (128, 16) x-major -> (16, 128) row-major, the per-subtile
+    # finalize relayout of the transposed-eval design
+    o_ref[:] = jnp.transpose(x_ref[:], (1, 0))
+
+
 def main():
     x = jnp.asarray(np.random.default_rng(0).random((P, K), np.float32))
     out = pl.pallas_call(
@@ -54,8 +65,20 @@ def main():
         axis=1,
     ).reshape(P // 128, 128)
     err = np.abs(got - want).max()
-    print(f"transposed-eval probes: OK, max err {err:.2e}")
+    print(f"transposed-eval probes 1-3: OK, max err {err:.2e}")
     assert err < 1e-6
+
+    xt = jnp.asarray(np.random.default_rng(1).random((128, 16), np.float32))
+    try:
+        ot = pl.pallas_call(
+            transpose_kernel,
+            out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
+        )(xt)
+        terr = np.abs(np.asarray(ot) - np.asarray(xt).T).max()
+        print(f"probe 4 (finalize transpose): OK, max err {terr:.2e}")
+    except Exception as e:  # noqa: BLE001 — probe: report, don't crash
+        print(f"probe 4 (finalize transpose): FAILED — {type(e).__name__}: "
+              f"{str(e)[:300]}")
 
 
 if __name__ == "__main__":
