@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vrenderer_tpu.config import FrameConfig, LightParams
+from vrenderer_tpu.config import FrameConfig
 from vrenderer_tpu.camera import Camera, flythrough, make_view_constants
 from vrenderer_tpu.ops import lighting, raster, raster_pallas, shadow, vertex
 from vrenderer_tpu.profiler import FrameProfiler, PassTimer

@@ -53,10 +53,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vrenderer_tpu.utils import math3d
 
-F32_FAR = jnp.float32(3.0e38)
+# numpy (not jnp) scalar: a module-level jnp constant allocates on the
+# default device at IMPORT time (hangs the whole package import when the
+# TPU tunnel is down) and would be captured into Pallas kernels as a
+# traced constant (CLAUDE.md pitfall). np.float32 behaves identically in
+# every jnp op.
+F32_FAR = np.float32(3.0e38)
 
 
 class TriSetup(NamedTuple):
