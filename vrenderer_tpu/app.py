@@ -257,12 +257,20 @@ class App:
                 s_world,
             )
 
-        # vertex stage + raster = "Terrain"
-        timer.measure(
-            "Terrain",
-            lambda eye: r._terrain_pass(vc, params, shadow_field)[0],
-            vc["camera_pos"],
-        )
+        # vertex stage + raster = "Terrain". The measured lambda must
+        # CONSUME its perturbed argument (PassTimer threads each
+        # iteration's output back into the next one's input): rebuild the
+        # view constants from the perturbed eye so the whole pass depends
+        # on it.
+        def terrain_pass_from_eye(eye):
+            c = Camera(eye=eye, target=cam.target, up=cam.up)
+            vc2 = make_view_constants(
+                c, cfg.width, cfg.height, cfg.vfov_degrees, cfg.z_near,
+                cfg.z_far,
+            )
+            return r._terrain_pass(vc2, params, shadow_field)[0]
+
+        timer.measure("Terrain", terrain_pass_from_eye, cam.eye)
 
         z, prim_id, attrs, _, _ = r._terrain_pass(vc, params, shadow_field)
         covered = prim_id >= 0

@@ -66,13 +66,51 @@ REFERENCE_CPU_COUNTERS = [
 ]
 
 
+def _chain_reduce(out) -> jnp.ndarray:
+    """Reduce a pass output pytree to one bounded f32 scalar.
+
+    Every leaf contributes (the pass cannot be dead-code-eliminated), and
+    values are clipped so background FAR sentinels (3e38) cannot poison
+    the perturbation chain (see scripts/prep_time.py / CLAUDE.md
+    measurement trap)."""
+    s = jnp.float32(0)
+    for leaf in jax.tree_util.tree_leaves(out):
+        arr = jnp.asarray(leaf).astype(jnp.float32)
+        s = s + jnp.clip(arr, -1e6, 1e6).mean()
+    return s
+
+
+def _perturb(args, s: jnp.ndarray):
+    """Fold the reduced output scalar back into every float input leaf.
+
+    The scale (1e-30) is far below f32 relative precision for any live
+    value, so results are unchanged — but the data dependency makes the
+    next iteration's input depend on this iteration's OUTPUT, which is
+    what defeats XLA's loop-invariant code motion. (A body whose inputs
+    don't change across iterations gets hoisted: the round-3 judge
+    measured a 51 ms matmul as -0.16 ms under the old chain.)"""
+
+    def add(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.inexact):
+            return leaf + (s * 1e-30).astype(leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map(add, args)
+
+
 class PassTimer:
     """Device-time measurement for individual jitted passes.
 
-    measure(name, fn, *args): fn must map its inputs to outputs of the
-    same structure OR return something reducible; it is iterated inside a
-    fori_loop with a perturbation so XLA cannot hoist it, then timed at
-    two chain lengths.
+    measure(name, fn, *args): fn is iterated inside a fori_loop whose
+    carry IS (args, acc) — each iteration's reduced output perturbs the
+    next iteration's inputs (the scripts/prep_time.py pattern), so the
+    body cannot be hoisted or pruned — then timed at two chain lengths;
+    the difference cancels dispatch overhead and the host->device RTT
+    (the role the reference's fenced two-frame-latency readback plays,
+    Profiler.cpp:148-235).
+
+    fn must CONSUME its first argument (a float array) on the measured
+    path; a lambda that ignores its args measures nothing.
     """
 
     def __init__(self, short: int = 2, long: int = 10, reps: int = 3):
@@ -86,15 +124,17 @@ class PassTimer:
         # program constants, which blows up compilation for large buffers
         # (the remote-compile service rejects oversized programs)
         def run(*args):
-            def body(i, acc):
-                out = fn(*args)
-                leaves = jax.tree_util.tree_leaves(out)
-                s = jnp.float32(0)
-                for leaf in leaves:
-                    s = s + jnp.asarray(leaf).astype(jnp.float32).ravel()[0]
-                return acc + s * (1.0 + 1e-9 * i)
+            # strengthen weak types so the fori_loop carry is type-stable
+            args = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x).astype(jnp.asarray(x).dtype), args
+            )
 
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+            def body(i, carry):
+                args_c, acc = carry
+                s = _chain_reduce(fn(*args_c))
+                return (_perturb(args_c, s), acc + s)
+
+            return jax.lax.fori_loop(0, n, body, (args, jnp.float32(0)))[1]
 
         return jax.jit(run)
 
