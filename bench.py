@@ -230,5 +230,36 @@ def main():
     }))
 
 
+def _transient_backend_failure(e: BaseException) -> bool:
+    s = str(e)
+    return (
+        "UNAVAILABLE" in s
+        or "Unable to initialize backend" in s
+        or "DEADLINE_EXCEEDED" in s
+        or "failed to connect" in s.lower()
+        or "socket closed" in s.lower()
+    )
+
+
 if __name__ == "__main__":
-    main()
+    # The axon tunnel drops transiently (round 3's driver bench died rc=1
+    # on "Unable to initialize backend 'axon'"). A failed backend init is
+    # cached inside the process, so retry by RE-EXEC with exponential
+    # backoff — a transient outage degrades to a late number, not rc=1.
+    _attempt = int(os.environ.get("VRT_BENCH_ATTEMPT", "0"))
+    _MAX_ATTEMPTS = 6
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — classify, then re-raise
+        if _attempt + 1 < _MAX_ATTEMPTS and _transient_backend_failure(e):
+            delay = min(60 * 2 ** _attempt, 600)
+            print(
+                f"bench: transient backend failure (attempt "
+                f"{_attempt + 1}/{_MAX_ATTEMPTS}): {e}\nretrying in "
+                f"{delay}s",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(delay)
+            os.environ["VRT_BENCH_ATTEMPT"] = str(_attempt + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise

@@ -90,7 +90,7 @@ def work_stats(cfg, work, compact_k, sub_h):
 
 
 def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
-                max_work=2048, win_w=128):
+                max_work=2048, win_w=128, rounds_blk=0):
     packed, work = build_work(cfg, setup, bbox, usable, dist, compact_k,
                               sub_h, max_work, win_w)
     work_stats(cfg, work, compact_k, sub_h)
@@ -100,7 +100,7 @@ def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
         z, idb, attrs, _ = rp.rasterize_pallas(
             p, work, cfg.width, cfg.height, tile=cfg.raster.tile_w,
             sub_h=sub_h, compact_k=compact_k, max_work=max_work,
-            win_w=win_w)
+            win_w=win_w, rounds_blk=rounds_blk)
         return z
 
     def chain(n):
@@ -119,8 +119,8 @@ def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
     t4 = min(_t(lambda: float(f4(sp))) for _ in range(3))
     t12 = min(_t(lambda: float(f12(sp))) for _ in range(3))
     ms = (t12 - t4) / 8 * 1000
-    print(f"  kernel K={compact_k:3d} sub_h={sub_h} win={win_w}: "
-          f"{ms:8.2f} ms/frame")
+    print(f"  kernel K={compact_k:3d} sub_h={sub_h} win={win_w} "
+          f"blk={rounds_blk}: {ms:8.2f} ms/frame")
     return ms
 
 
@@ -136,6 +136,7 @@ if __name__ == "__main__":
     ks = []
     sub_h = 8
     win_w = 128
+    rounds_blk = 0
     do_stats = False
     for a in args:
         if a.startswith("cam="):
@@ -146,6 +147,8 @@ if __name__ == "__main__":
             sub_h = int(a[4:])
         elif a.startswith("win="):
             win_w = int(a[4:])
+        elif a.startswith("blk="):
+            rounds_blk = int(a[4:])
         elif a == "stats":
             do_stats = True
     cfg, setup, bbox, usable, dist = build_setup(cam_idx)
@@ -155,4 +158,5 @@ if __name__ == "__main__":
             _, work = build_work(cfg, setup, bbox, usable, dist, k, sub_h)
             work_stats(cfg, work, k, sub_h)
     for k in ks:
-        time_config(cfg, setup, bbox, usable, dist, k, sub_h, win_w=win_w)
+        time_config(cfg, setup, bbox, usable, dist, k, sub_h, win_w=win_w,
+                    rounds_blk=rounds_blk)

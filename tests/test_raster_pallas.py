@@ -45,7 +45,7 @@ def _scene(eye, target, seed=0):
     return inst, vout, setup, vc
 
 
-def _run_both(eye, target, win_w=128):
+def _run_both(eye, target, win_w=128, rounds_blk=0):
     inst, vout, setup, vc = _scene(eye, target)
     T = SET.tris_per_instance
     I = SET.max_instances
@@ -62,7 +62,7 @@ def _run_both(eye, target, win_w=128):
     )
     z_p, id_p, at_p, _ = raster_pallas.rasterize_pallas(
         packed, work, W, H, tile=128, sub_h=8, compact_k=16,
-        max_work=256, interpret=True, win_w=win_w,
+        max_work=256, interpret=True, win_w=win_w, rounds_blk=rounds_blk,
     )
     return (z_x, id_x, at_x), (z_p, id_p, at_p), inst
 
@@ -116,6 +116,46 @@ def test_pallas_windowed_compaction_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(at_p)[covered], np.asarray(at_x)[covered], atol=3e-4
     )
+
+
+def test_batched_compaction_bitwise_identical():
+    """v12 batched compaction (rounds_blk=4: one 64-row one-hot dot per
+    4 round slots at compact_k=16) must be BIT-identical to the per-round
+    path: same one-hot partial sums in the same association, rounds
+    visited in the same cell-major order."""
+    _, (z_0, id_0, at_0), _ = _run_both([0.0, 20.0, 40.0], [0.0, 0.0, 0.0])
+    (z_x, id_x, at_x), (z_b, id_b, at_b), _ = _run_both(
+        [0.0, 20.0, 40.0], [0.0, 0.0, 0.0], rounds_blk=4
+    )
+    np.testing.assert_array_equal(np.asarray(id_b), np.asarray(id_0))
+    np.testing.assert_array_equal(np.asarray(z_b), np.asarray(z_0))
+    np.testing.assert_array_equal(np.asarray(at_b), np.asarray(at_0))
+    # and still oracle-exact
+    np.testing.assert_array_equal(np.asarray(id_b), np.asarray(id_x))
+
+
+def test_batched_compaction_depth_only():
+    inst, vout, setup, vc = _scene([10.0, 25.0, 35.0], [0.0, 0.0, -5.0])
+    T = SET.tris_per_instance
+    packed = raster_pallas.pack_tri_data(setup, SET.max_instances, T,
+                                         tri_batch=64)
+    bbox, usable, dist = raster_pallas.instance_screen_bbox(
+        vout.world, vc["world_to_clip"], W, H, inst.valid
+    )
+    work = raster_pallas.build_work_list(
+        bbox, usable, W, H, tile=128, tris_per_inst=T, max_work=256,
+        order_key=dist, packed=packed, compact_k=16,
+    )
+    z0 = raster_pallas.rasterize_pallas_depth(
+        packed, work, W, H, tile=128, sub_h=8, compact_k=16,
+        max_work=256, interpret=True,
+    )
+    zb = raster_pallas.rasterize_pallas_depth(
+        packed, work, W, H, tile=128, sub_h=8, compact_k=16,
+        max_work=256, interpret=True, rounds_blk=4,
+    )
+    assert (np.asarray(z0) < 1e30).sum() > 1000
+    np.testing.assert_array_equal(np.asarray(zb), np.asarray(z0))
 
 
 def test_depth_only_kernel_matches_full_z():

@@ -106,6 +106,14 @@ class RasterSettings:
     # the triangles' ~16-px footprint but cannot be stitched -- see
     # docs/PERFORMANCE.md).
     win_w: int = 128
+    # Batched compaction (kernel v12): > 0 batches this many compaction
+    # round-slots into ONE one-hot MXU dot of (blk * compact_k) rows per
+    # work item (4 x 32 = 128 rows = a full MXU tile), instead of one
+    # 32-row dot per round — 4x the systolic-array row occupancy and
+    # ~4x fewer MXU issues on the dominant per-round term. 0 = the
+    # per-round dots. Output is bit-identical either way (same one-hot
+    # sums in the same association, rounds visited in the same order).
+    compact_rounds_blk: int = 0
     # Interpolated vertex-attribute channels (albedo3, normal3, shadow,
     # height).
     attr_channels: int = 8

@@ -43,6 +43,8 @@ class Editor:
         self.app = app
         self.out_dir = out_dir
         self.camera = Camera.default()
+        self.fpc = None       # first-person controller ('walk on')
+        self.orbit = None     # orbit controller ('orbit on')
         self.locked_instances = None
         self.last_output = None
         self.frame_counter = 0
@@ -74,6 +76,14 @@ class Editor:
             "render [out.png]      render a frame (current camera/params)",
             "fly N [dir]           render an N-frame flythrough to dir",
             "camera X Y Z [TX TY TZ]  set eye (and target)",
+            "walk on|fly|off       first-person controller (walk pins to "
+            "ground; fly moves along the look direction)",
+            "step DT [KEYS] [MDX MDY]  one Animate tick: hold KEYS "
+            "(wasdeq, uppercase = sprint), mouse-look by (MDX, MDY) px",
+            "speed V               first-person move speed (m/s)",
+            "orbit on [D]          orbit controller around the current "
+            "target at distance D",
+            "drag DX DY | zoom F   orbit the view / dolly the distance",
             "light AZ EL           sun direction from azimuth/elevation deg",
             "ambient V | exposure V | max-height V   set render params",
             "terrain on|off        toggle the terrain pass (traced)",
@@ -152,6 +162,98 @@ class Editor:
             ),
             up=jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
         )
+
+    def cmd_walk(self, mode="on"):
+        """First-person camera (Renderer.cpp:149-181 input surface +
+        Animate integration). 'on' = walk (eye pinned to terrain height +
+        1.8 m), 'fly' = free-fly, 'off' = back to the static camera."""
+        from vrenderer_tpu.camera import FirstPersonController
+
+        if mode == "off":
+            self.fpc = None
+            return "first-person controller off"
+        app = self.app
+        self.orbit = None
+        self.fpc = FirstPersonController(
+            camera=self.camera,
+            heightmap=app.heightmap,
+            world_size=float(app.config.terrain.world_size),
+            max_height=float(np.asarray(app.params.max_height)),
+            walk=(mode == "on"),
+        )
+        self.camera = self.fpc.camera()
+        e = np.asarray(self.camera.eye)
+        return (
+            f"{'walk' if mode == 'on' else 'fly'} mode at "
+            f"({e[0]:.1f}, {e[1]:.1f}, {e[2]:.1f})"
+        )
+
+    def cmd_step(self, dt, keys="", mdx="0", mdy="0"):
+        """One per-frame Animate tick: hold KEYS for this step (wasdeq;
+        uppercase sprints), apply a mouse-look delta, integrate
+        velocity, update the camera."""
+        fpc = getattr(self, "fpc", None)
+        if fpc is None:
+            return "no first-person controller (run 'walk on' first)"
+        held = set()
+        for ch in keys:
+            if ch in "-.":
+                continue
+            if ch.isupper():
+                held.add("shift")
+            held.add(ch.lower())
+        fpc._keys = held
+        fpc.mouse_move(float(mdx), float(mdy))
+        self.camera = fpc.animate(float(dt))
+        e = np.asarray(self.camera.eye)
+        v = float(np.linalg.norm(fpc.vel))
+        return (
+            f"eye ({e[0]:.2f}, {e[1]:.2f}, {e[2]:.2f}) "
+            f"speed {v:.2f} m/s yaw {math.degrees(fpc.yaw):.1f} "
+            f"pitch {math.degrees(fpc.pitch):.1f}"
+        )
+
+    def cmd_speed(self, v):
+        fpc = getattr(self, "fpc", None)
+        if fpc is None:
+            return "no first-person controller (run 'walk on' first)"
+        fpc.move_speed = float(v)
+
+    def cmd_orbit(self, mode="on", dist=None):
+        from vrenderer_tpu.camera import OrbitController
+
+        if mode == "off":
+            self.orbit = None
+            return "orbit controller off"
+        self.fpc = None
+        eye = np.asarray(self.camera.eye)
+        tgt = np.asarray(self.camera.target)
+        d = float(dist) if dist is not None else float(
+            np.linalg.norm(eye - tgt)
+        )
+        off = eye - tgt
+        self.orbit = OrbitController(
+            pivot=tgt, distance=d,
+            yaw=math.atan2(float(off[2]), float(off[0])),
+            pitch=math.asin(float(np.clip(off[1] / max(d, 1e-6), -1, 1))),
+        )
+        self.camera = self.orbit.camera()
+        return f"orbiting ({tgt[0]:.1f}, {tgt[1]:.1f}, {tgt[2]:.1f}) at {d:.1f}"
+
+    def cmd_drag(self, dx, dy):
+        orb = getattr(self, "orbit", None)
+        if orb is None:
+            return "no orbit controller (run 'orbit on' first)"
+        orb.drag(float(dx), float(dy))
+        self.camera = orb.camera()
+
+    def cmd_zoom(self, factor):
+        orb = getattr(self, "orbit", None)
+        if orb is None:
+            return "no orbit controller (run 'orbit on' first)"
+        orb.zoom(float(factor))
+        self.camera = orb.camera()
+        return f"distance {orb.distance:.1f}"
 
     def cmd_light(self, az, el):
         a, e = math.radians(float(az)), math.radians(float(el))

@@ -220,8 +220,17 @@ def _node_transform(node: dict) -> np.ndarray:
     return np.concatenate([lin, t[None, :]], axis=0).astype(np.float32)
 
 
-def load_gltf(path: str) -> Scene:
-    """Load a .gltf / .glb file into a Scene (triangle meshes only)."""
+def load_gltf(path: str, texture_subdiv_texels: float = 1.0,
+              max_subdiv_tris: int = 1 << 18) -> Scene:
+    """Load a .gltf / .glb file into a Scene (triangle meshes only).
+
+    ``texture_subdiv_texels``: textured primitives are midpoint-
+    subdivided until every edge spans at most this many texels in UV
+    space BEFORE the base-color texture is baked to vertex colors, so
+    plane-interpolated vertex colors reach the texture's texel density —
+    the parity mechanism for Donut's per-pixel sampling (GBufferFillPass,
+    Renderer.cpp:384-399); the terrain gets the same guarantee from its
+    grid density. None/0 disables; ``max_subdiv_tris`` caps growth."""
     if path.endswith(".glb"):
         raw = open(path, "rb").read()
         magic, _, _ = struct.unpack_from("<III", raw, 0)
@@ -326,25 +335,42 @@ def load_gltf(path: str) -> Scene:
             else:
                 tris = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
             factor, img, uv_set = base_color(prim)
-            col = np.tile(np.asarray(factor, np.float32), (len(pos), 1))
+            if "COLOR_0" in prim["attributes"]:
+                vc = _read_accessor(
+                    gltf, buffers, prim["attributes"]["COLOR_0"]
+                )[:, :3].astype(np.float32)
+            else:
+                vc = np.ones((len(pos), 3), np.float32)
             uv_key = f"TEXCOORD_{uv_set}"
             if img is not None and uv_key in prim["attributes"]:
                 # bake the base-color texture to vertex colors at load
                 # time (host-side bilinear): the frame path stays
-                # gather-free, and low-poly scene meshes sample their
-                # textures at >= the rate Donut's pixel shader would for
-                # the same texel density
+                # gather-free. Subdivide first so the baked vertex
+                # density reaches the texture's texel density (plane
+                # interpolation then matches per-pixel sampling — see
+                # mesh.subdivide_to_texel_density).
                 uv = _read_accessor(
                     gltf, buffers, prim["attributes"][uv_key]
-                )
-                col = col * _sample_bilinear(
-                    img, uv[:, :2].astype(np.float32)
-                ).astype(np.float32)
-            if "COLOR_0" in prim["attributes"]:
-                vc = _read_accessor(
-                    gltf, buffers, prim["attributes"]["COLOR_0"]
-                )
-                col = col * vc[:, :3].astype(np.float32)
+                )[:, :2]
+                if texture_subdiv_texels:
+                    from vrenderer_tpu.models.mesh import (
+                        subdivide_to_texel_density,
+                    )
+
+                    pos, (nrm, vc), uv, tris = subdivide_to_texel_density(
+                        pos, [nrm, vc], uv, tris, img.shape[:2],
+                        target_texels=float(texture_subdiv_texels),
+                        max_tris=max_subdiv_tris,
+                    )
+                    n = np.linalg.norm(nrm, axis=-1, keepdims=True)
+                    nrm = nrm / np.maximum(n, 1e-12)
+                col = np.asarray(factor, np.float32) * _sample_bilinear(
+                    img, np.asarray(uv, np.float32)
+                ).astype(np.float32) * np.asarray(vc, np.float32)
+            else:
+                col = np.tile(
+                    np.asarray(factor, np.float32), (len(pos), 1)
+                ) * np.asarray(vc, np.float32)
             prims.append(
                 Mesh(
                     positions=jnp.asarray(pos, jnp.float32),

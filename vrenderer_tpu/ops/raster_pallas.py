@@ -593,6 +593,7 @@ def _raster_kernel(
     cols_ref,     # (1, 8, T) f32 — bbox/valid columns, lane-major
     *refs,        # full: z/id/attr outs + z/id/coef/ranks scratch;
                   # depth_only: z out + z/ranks scratch
+                  # (+ a (rounds_blk*K, CH) blk scratch when batched)
     tile: int,
     sub_h: int,
     compact_k: int,
@@ -601,12 +602,22 @@ def _raster_kernel(
     wire_px: float,
     win_w: int,
     depth_only: bool = False,
+    rounds_blk: int = 0,
 ):
     if depth_only:
-        z_ref, z_scr, ranks = refs
+        if rounds_blk:
+            z_ref, z_scr, ranks, blk_scr = refs
+        else:
+            (z_ref, z_scr, ranks), blk_scr = refs, None
         id_ref = attr_ref = id_scr = coef_acc = None
     else:
-        z_ref, id_ref, attr_ref, z_scr, id_scr, coef_acc, ranks = refs
+        if rounds_blk:
+            (z_ref, id_ref, attr_ref, z_scr, id_scr, coef_acc, ranks,
+             blk_scr) = refs
+        else:
+            (z_ref, id_ref, attr_ref, z_scr, id_scr, coef_acc,
+             ranks) = refs
+            blk_scr = None
     w = pl.program_id(0)
     first = meta_ref[2, w]
     last = meta_ref[3, w]
@@ -696,169 +707,266 @@ def _raster_kernel(
         csum = _lane_cumsum(mf)
         ranks[:] = jnp.where(m, csum - 1.0, -1.0)
 
-        def cell_body(c, _):
-            n_rounds = subr_ref[c, w]
+        def do_round(c, blk):
+            """Eval + merge one compacted round against cell ``c``.
+            blk (K, 48|19) f32 — identical math regardless of whether the
+            compaction dot ran per round or batched (v12)."""
             sy0 = y0f + (c // n_win).astype(jnp.float32) * sub_h
             wx0 = x0f + (c % n_win).astype(jnp.float32) * win_w
+            live = blk[:, r_valid:r_valid + 1] > 0.5
 
-            # Early-z stays ITEM-level only: a per-cell variant (the same
-            # strict fixed-point skip against each cell's own depth edge,
-            # one (1, P) reduce per (item, cell)) measured 41.5 vs 43.9
-            # FPS on the 1080p flythrough — the always-paid reduce costs
-            # more than the skips save at this workload's overdraw.
-            run_cell = n_rounds > 0
+            # edge/z evaluation as VPU broadcast-FMA from the
+            # compacted coefficient COLUMNS: (K, 1) x (1, P) lane
+            # broadcasts are native after compaction (the round-1
+            # kernel's slow path was per-tri VMEM scalar broadcasts,
+            # which compaction eliminates). Exact f32 with the SAME
+            # association as the oracle (a*px + b*py + c, left to
+            # right, rasterize_tile_z) — bit-identical on CPU AND
+            # hardware, unlike any MXU formulation.
+            pcolf = jax.lax.broadcasted_iota(
+                jnp.int32, (1, P), 1
+            )
+            pxc = (pcolf % win_w).astype(jnp.float32) + (wx0 + 0.5)
+            pyc = (pcolf // win_w).astype(jnp.float32) + (sy0 + 0.5)
 
-            def round_body(r, _):
-                rank_s = ranks[pl.ds(c, 1), :]        # (1, T)
-                slot = jax.lax.broadcasted_iota(
-                    jnp.int32, (K, T), 0
-                ).astype(jnp.float32) + (r * K).astype(jnp.float32)
-                oh = (rank_s == slot).astype(jnp.bfloat16)  # (K, T)
-                # NT contraction (both operands contract on lanes): the
-                # component-major (48, T) layout needs no transpose
-                ntdims = (((1,), (1,)), ((), ()))
-                # compaction partials per split term: each dot is a single
-                # exact bf16 MXU pass (the one-hot is 0/1), so each partial
-                # equals the compacted bf16 term exactly.
-                p_lo = jax.lax.dot_general(
-                    oh, d_lo, ntdims,
-                    preferred_element_type=jnp.float32,
-                )
-                p_mid = jax.lax.dot_general(
-                    oh, d_mid, ntdims,
-                    preferred_element_type=jnp.float32,
-                )
-                p_hi = jax.lax.dot_general(
-                    oh, d_hi, ntdims,
-                    preferred_element_type=jnp.float32,
-                )
-                # ascending-term sum: lo, then mid, then hi
-                blk = (p_lo + p_mid) + p_hi           # (K, 48|19) f32
-                live = blk[:, r_valid:r_valid + 1] > 0.5
+            def ev(base):
+                return (
+                    blk[:, base:base + 1] * pxc
+                    + blk[:, base + 1:base + 2] * pyc
+                    + blk[:, base + 2:base + 3]
+                )  # (K, P)
 
-                # edge/z evaluation as VPU broadcast-FMA from the
-                # compacted coefficient COLUMNS: (K, 1) x (1, P) lane
-                # broadcasts are native after compaction (the round-1
-                # kernel's slow path was per-tri VMEM scalar broadcasts,
-                # which compaction eliminates). Exact f32 with the SAME
-                # association as the oracle (a*px + b*py + c, left to
-                # right, rasterize_tile_z) — bit-identical on CPU AND
-                # hardware, unlike any MXU formulation.
-                pcolf = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, P), 1
-                )
-                pxc = (pcolf % win_w).astype(jnp.float32) + (wx0 + 0.5)
-                pyc = (pcolf // win_w).astype(jnp.float32) + (sy0 + 0.5)
+            e0 = ev(_R_EDGE + 0)
+            e1 = ev(_R_EDGE + 3)
+            e2 = ev(_R_EDGE + 6)
+            zq = ev(_R_Z)
 
-                def ev(base):
-                    return (
-                        blk[:, base:base + 1] * pxc
-                        + blk[:, base + 1:base + 2] * pyc
-                        + blk[:, base + 2:base + 3]
-                    )  # (K, P)
+            edge_min = jnp.minimum(e0, jnp.minimum(e1, e2))
+            # 0 <= zq <= ~1 is the depth clip (near for clipless
+            # crossing tris, far-with-slack for degenerate slivers;
+            # matches ops/raster.py), plus the per-tri bbox scissor
+            # (pixel index i covers iff bx0 <= i <= bx1)
+            pxi = pxc - 0.5
+            pyi = pyc - 0.5
+            in_bb = (
+                (pxi >= blk[:, r_bbox:r_bbox + 1])
+                & (pxi <= blk[:, r_bbox + 2:r_bbox + 3])
+                & (pyi >= blk[:, r_bbox + 1:r_bbox + 2])
+                & (pyi <= blk[:, r_bbox + 3:r_bbox + 4])
+            )
+            cover = (
+                (jnp.minimum(edge_min, zq) >= 0.0)
+                & (zq <= 1.01) & live & in_bb
+            )
+            if wire_px > 0.0:
+                cover = cover & (edge_min <= wire_px)
+            zv = jnp.where(cover, zq, worst)
 
-                e0 = ev(_R_EDGE + 0)
-                e1 = ev(_R_EDGE + 3)
-                e2 = ev(_R_EDGE + 6)
-                zq = ev(_R_Z)
+            if reverse_z:
+                z_best = jnp.max(zv, axis=0, keepdims=True)
+            else:
+                z_best = jnp.min(zv, axis=0, keepdims=True)
 
-                edge_min = jnp.minimum(e0, jnp.minimum(e1, e2))
-                # 0 <= zq <= ~1 is the depth clip (near for clipless
-                # crossing tris, far-with-slack for degenerate slivers;
-                # matches ops/raster.py), plus the per-tri bbox scissor
-                # (pixel index i covers iff bx0 <= i <= bx1)
-                pxi = pxc - 0.5
-                pyi = pyc - 0.5
-                in_bb = (
-                    (pxi >= blk[:, r_bbox:r_bbox + 1])
-                    & (pxi <= blk[:, r_bbox + 2:r_bbox + 3])
-                    & (pyi >= blk[:, r_bbox + 1:r_bbox + 2])
-                    & (pyi <= blk[:, r_bbox + 3:r_bbox + 4])
-                )
-                cover = (
-                    (jnp.minimum(edge_min, zq) >= 0.0)
-                    & (zq <= 1.01) & live & in_bb
-                )
-                if wire_px > 0.0:
-                    cover = cover & (edge_min <= wire_px)
-                zv = jnp.where(cover, zq, worst)
-
-                if reverse_z:
-                    z_best = jnp.max(zv, axis=0, keepdims=True)
-                else:
-                    z_best = jnp.min(zv, axis=0, keepdims=True)
-
-                if depth_only:
-                    # depth test only: no winner identity, no attribute
-                    # swap — just the running min/max merge (identical z
-                    # to the full kernel: ties write the same value)
-                    zs = z_scr[pl.ds(c, 1), :]
-                    if reverse_z:
-                        z_scr[pl.ds(c, 1), :] = jnp.maximum(z_best, zs)
-                    else:
-                        z_scr[pl.ds(c, 1), :] = jnp.minimum(z_best, zs)
-                    return 0
-
-                idx = jnp.min(
-                    jnp.where(zv == z_best, kiota, K), axis=0,
-                    keepdims=True,
-                )  # (1, P)
-                covered = idx < K
-
-                # winner one-hot swap of rows [_R_COEF, _R_ID+2): the 27
-                # interpolation coefficients AND the two id channels ride
-                # the same ascending 3-term bf16 matmuls (ids are exact in
-                # any case: id_hi is a multiple of 256 < 2048, id_lo <
-                # 256). Three terms are REQUIRED for the coefficients:
-                # tiny distant triangles have attr planes with huge
-                # cancelling (a, b, c), so a 2-term 2^-16 relative-
-                # of-coefficient error shows up as ~1e-3 on interpolated
-                # values (measured 0.46% of pixels beyond the 3e-4
-                # tolerance). Folding the ids in still saves the separate
-                # id dot (~8 MXU passes per round).
-                ohw = (kiota == idx).astype(jnp.bfloat16)  # (K, P)
-                wdims = (((0,), (0,)), ((), ()))
-                sw = blk[:, _R_COEF:_R_ID + 2]              # (K, 30)
-                s_hi, s_mid, s_lo = _split3_bf16(sw)
-                swapped = jax.lax.dot_general(
-                    s_lo, ohw, wdims,
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    s_mid, ohw, wdims,
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    s_hi, ohw, wdims,
-                    preferred_element_type=jnp.float32,
-                )                                           # (30, P)
-                new_coef = swapped[0:NUM_COEF]
-                idv = swapped[NUM_COEF + 1:NUM_COEF + 3]
-                tid = (idv[0:1, :] + idv[1:2, :]).astype(jnp.int32)
-                gid = jnp.where(covered, base_id + tid, _BIG_ID)
-
+            if depth_only:
+                # depth test only: no winner identity, no attribute
+                # swap — just the running min/max merge (identical z
+                # to the full kernel: ties write the same value)
                 zs = z_scr[pl.ds(c, 1), :]
-                ids = id_scr[pl.ds(c, 1), :]
                 if reverse_z:
-                    better = z_best > zs
+                    z_scr[pl.ds(c, 1), :] = jnp.maximum(z_best, zs)
                 else:
-                    better = z_best < zs
-                upd = covered & (
-                    better | ((z_best == zs) & (gid < ids))
-                )
-                acc = coef_acc[pl.ds(c, 1), 0:NUM_COEF, :]
-                coef_acc[pl.ds(c, 1), 0:NUM_COEF, :] = jnp.where(
-                    upd[None], new_coef[None], acc
-                )
-                z_scr[pl.ds(c, 1), :] = jnp.where(upd, z_best, zs)
-                id_scr[pl.ds(c, 1), :] = jnp.where(upd, gid, ids)
+                    z_scr[pl.ds(c, 1), :] = jnp.minimum(z_best, zs)
                 return 0
 
-            @pl.when(run_cell)
-            def _run_rounds():
-                jax.lax.fori_loop(0, n_rounds, round_body, 0)
+            idx = jnp.min(
+                jnp.where(zv == z_best, kiota, K), axis=0,
+                keepdims=True,
+            )  # (1, P)
+            covered = idx < K
 
+            # winner one-hot swap of rows [_R_COEF, _R_ID+2): the 27
+            # interpolation coefficients AND the two id channels ride
+            # the same ascending 3-term bf16 matmuls (ids are exact in
+            # any case: id_hi is a multiple of 256 < 2048, id_lo <
+            # 256). Three terms are REQUIRED for the coefficients:
+            # tiny distant triangles have attr planes with huge
+            # cancelling (a, b, c), so a 2-term 2^-16 relative-
+            # of-coefficient error shows up as ~1e-3 on interpolated
+            # values (measured 0.46% of pixels beyond the 3e-4
+            # tolerance). Folding the ids in still saves the separate
+            # id dot (~8 MXU passes per round).
+            ohw = (kiota == idx).astype(jnp.bfloat16)  # (K, P)
+            wdims = (((0,), (0,)), ((), ()))
+            sw = blk[:, _R_COEF:_R_ID + 2]              # (K, 30)
+            s_hi, s_mid, s_lo = _split3_bf16(sw)
+            swapped = jax.lax.dot_general(
+                s_lo, ohw, wdims,
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                s_mid, ohw, wdims,
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                s_hi, ohw, wdims,
+                preferred_element_type=jnp.float32,
+            )                                           # (30, P)
+            new_coef = swapped[0:NUM_COEF]
+            idv = swapped[NUM_COEF + 1:NUM_COEF + 3]
+            tid = (idv[0:1, :] + idv[1:2, :]).astype(jnp.int32)
+            gid = jnp.where(covered, base_id + tid, _BIG_ID)
+
+            zs = z_scr[pl.ds(c, 1), :]
+            ids = id_scr[pl.ds(c, 1), :]
+            if reverse_z:
+                better = z_best > zs
+            else:
+                better = z_best < zs
+            upd = covered & (
+                better | ((z_best == zs) & (gid < ids))
+            )
+            acc = coef_acc[pl.ds(c, 1), 0:NUM_COEF, :]
+            coef_acc[pl.ds(c, 1), 0:NUM_COEF, :] = jnp.where(
+                upd[None], new_coef[None], acc
+            )
+            z_scr[pl.ds(c, 1), :] = jnp.where(upd, z_best, zs)
+            id_scr[pl.ds(c, 1), :] = jnp.where(upd, gid, ids)
             return 0
+        if rounds_blk == 0:
+            # v11 path: one one-hot compaction dot per round
+            def cell_body(c, _):
+                n_rounds = subr_ref[c, w]
+                # Early-z stays ITEM-level only: a per-cell variant (the
+                # same strict fixed-point skip against each cell's own
+                # depth edge, one (1, P) reduce per (item, cell)) measured
+                # 41.5 vs 43.9 FPS on the 1080p flythrough — the
+                # always-paid reduce costs more than the skips save at
+                # this workload's overdraw.
+                run_cell = n_rounds > 0
 
-        jax.lax.fori_loop(0, n_cell, cell_body, 0)
+                def round_body(r, _):
+                    rank_s = ranks[pl.ds(c, 1), :]        # (1, T)
+                    slot = jax.lax.broadcasted_iota(
+                        jnp.int32, (K, T), 0
+                    ).astype(jnp.float32) + (r * K).astype(jnp.float32)
+                    oh = (rank_s == slot).astype(jnp.bfloat16)  # (K, T)
+                    # NT contraction (both operands contract on lanes):
+                    # the component-major (48, T) layout needs no
+                    # transpose. Compaction partials per split term: each
+                    # dot is a single exact bf16 MXU pass (the one-hot is
+                    # 0/1), so each partial equals the compacted bf16
+                    # term exactly; ascending-term sum (lo, mid, hi).
+                    ntdims = (((1,), (1,)), ((), ()))
+                    p_lo = jax.lax.dot_general(
+                        oh, d_lo, ntdims,
+                        preferred_element_type=jnp.float32,
+                    )
+                    p_mid = jax.lax.dot_general(
+                        oh, d_mid, ntdims,
+                        preferred_element_type=jnp.float32,
+                    )
+                    p_hi = jax.lax.dot_general(
+                        oh, d_hi, ntdims,
+                        preferred_element_type=jnp.float32,
+                    )
+                    do_round(c, (p_lo + p_mid) + p_hi)
+                    return 0
+
+                @pl.when(run_cell)
+                def _run_rounds():
+                    jax.lax.fori_loop(0, n_rounds, round_body, 0)
+
+                return 0
+
+            jax.lax.fori_loop(0, n_cell, cell_body, 0)
+        else:
+            # v12 path: batched compaction. All (cell, round) slots of
+            # the item are enumerated cell-major; chunks of rounds_blk
+            # slots share ONE set of 3 one-hot dots of (rounds_blk * K)
+            # rows — 4x32=128 rows fill the MXU's rows where the
+            # per-round 32-row dots left 3/4 idle. Bit-identical to the
+            # per-round path: same one-hot partial sums in the same
+            # association, rounds visited in the same order.
+            RB = rounds_blk
+            RO = RB * K
+            ntdims = (((1,), (1,)), ((), ()))
+            nndims = (((1,), (0,)), ((), ()))
+
+            # per-cell round counts as a lane vector, from the SAME mask
+            # the ranks were built from (exact: bf16 0/1 dot, f32 acc)
+            ones_row = jnp.ones((1, T), jnp.bfloat16)
+            counts_l = jax.lax.dot_general(
+                ones_row, mf.astype(jnp.bfloat16), ntdims,
+                preferred_element_type=jnp.float32,
+            )                                       # (1, n_cell)
+            rounds_l = jnp.ceil(counts_l * (1.0 / K))
+            cum_l = _lane_cumsum(rounds_l)          # inclusive
+            cum0_l = cum_l - rounds_l               # exclusive
+            # cum0 reaches n_cell*ceil(T/K) (> 256, not bf16-exact), so
+            # it rides 3-term splits through the row-selection dots
+            c_hi, c_mid, c_lo = _split3_bf16(cum0_l)
+            r_hi, r_mid, r_lo = _split3_bf16(ranks[:])
+
+            R_total = jnp.int32(0)
+            for cc in range(n_cell):
+                R_total = R_total + subr_ref[cc, w]
+            n_chunks = (R_total + (RB - 1)) // RB
+
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (RO, 1), 0)
+            k_row = (row_i % K).astype(jnp.float32)
+            slot_in_chunk = row_i // K
+
+            def chunk_body(ch, carry):
+                s_row = (ch * RB + slot_in_chunk).astype(jnp.float32)
+                sel = (s_row >= cum0_l) & (s_row < cum_l)  # (RO, n_cell)
+                selb = sel.astype(jnp.bfloat16)
+                live_row = jnp.any(sel, axis=1, keepdims=True)
+
+                def sel_dot(hi, mid, lo, dims):
+                    return (jax.lax.dot_general(
+                        selb, lo, dims,
+                        preferred_element_type=jnp.float32,
+                    ) + jax.lax.dot_general(
+                        selb, mid, dims,
+                        preferred_element_type=jnp.float32,
+                    )) + jax.lax.dot_general(
+                        selb, hi, dims,
+                        preferred_element_type=jnp.float32,
+                    )
+
+                cum0_row = sel_dot(c_hi, c_mid, c_lo, ntdims)  # (RO, 1)
+                rankrow = sel_dot(r_hi, r_mid, r_lo, nndims)   # (RO, T)
+                target = (s_row - cum0_row) * K + k_row
+                target = jnp.where(live_row, target, -2.0)
+                oh = (rankrow == target).astype(jnp.bfloat16)  # (RO, T)
+                p_lo = jax.lax.dot_general(
+                    oh, d_lo, ntdims, preferred_element_type=jnp.float32,
+                )
+                p_mid = jax.lax.dot_general(
+                    oh, d_mid, ntdims, preferred_element_type=jnp.float32,
+                )
+                p_hi = jax.lax.dot_general(
+                    oh, d_hi, ntdims, preferred_element_type=jnp.float32,
+                )
+                blk_scr[:] = (p_lo + p_mid) + p_hi             # (RO, CH)
+
+                live_n = jnp.minimum(RB, R_total - ch * RB)
+
+                def round_body(r, carry2):
+                    c2, ric = carry2
+                    # advance to the next cell with rounds remaining
+                    # (cheap: SMEM scalar reads only)
+                    c2, ric = jax.lax.while_loop(
+                        lambda s: s[1] >= subr_ref[s[0], w],
+                        lambda s: (s[0] + 1, jnp.int32(0)),
+                        (c2, ric),
+                    )
+                    do_round(c2, blk_scr[pl.ds(r * K, K), :])
+                    return (c2, ric + 1)
+
+                return jax.lax.fori_loop(0, live_n, round_body, carry)
+
+            jax.lax.fori_loop(
+                0, n_chunks, chunk_body, (jnp.int32(0), jnp.int32(0))
+            )
 
     @pl.when(last == 1)
     def _finalize():
@@ -920,7 +1028,7 @@ def _raster_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
-        "max_work", "interpret", "wire_px", "win_w",
+        "max_work", "interpret", "wire_px", "win_w", "rounds_blk",
     ),
 )
 def rasterize_pallas(
@@ -936,6 +1044,7 @@ def rasterize_pallas(
     interpret: bool = False,
     wire_px: float = 0.0,
     win_w: int = 128,
+    rounds_blk: int = 0,
 ):
     """Returns (z (H, W), id (H, W) i32 [-1 = background], attrs (H, W, 8),
     inv_w (H, W)). H/W are padded to tile multiples then cropped.
@@ -987,7 +1096,8 @@ def rasterize_pallas(
             pltpu.VMEM((n_cell, P), jnp.int32),
             pltpu.VMEM((n_cell, 32, P), jnp.float32),
             pltpu.VMEM((n_cell, T), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((rounds_blk * compact_k, _R_TOTAL), jnp.float32)]
+             if rounds_blk else []),
     )
 
     kernel = functools.partial(
@@ -999,6 +1109,7 @@ def rasterize_pallas(
         reverse_z=reverse_z,
         wire_px=wire_px,
         win_w=win_w,
+        rounds_blk=rounds_blk,
     )
     z, idb, attr = pl.pallas_call(
         kernel,
@@ -1027,7 +1138,7 @@ def rasterize_pallas(
     jax.jit,
     static_argnames=(
         "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
-        "max_work", "interpret", "win_w",
+        "max_work", "interpret", "win_w", "rounds_blk",
     ),
 )
 def rasterize_pallas_depth(
@@ -1042,6 +1153,7 @@ def rasterize_pallas_depth(
     max_work: int = 2048,
     interpret: bool = False,
     win_w: int = 128,
+    rounds_blk: int = 0,
 ):
     """Depth-only variant of rasterize_pallas for light-view shadow
     rasters (the reference's depth-only TerrainPass run,
@@ -1082,7 +1194,8 @@ def rasterize_pallas_depth(
         scratch_shapes=[
             pltpu.VMEM((n_cell, P), jnp.float32),
             pltpu.VMEM((n_cell, T), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((rounds_blk * compact_k, 19), jnp.float32)]
+             if rounds_blk else []),
     )
 
     kernel = functools.partial(
@@ -1095,6 +1208,7 @@ def rasterize_pallas_depth(
         wire_px=0.0,
         win_w=win_w,
         depth_only=True,
+        rounds_blk=rounds_blk,
     )
     z = pl.pallas_call(
         kernel,

@@ -61,6 +61,22 @@ class VertexOutput(NamedTuple):
     attrs: jnp.ndarray  # (I, S, S, NUM_ATTRS)
 
 
+class VertexGeom(NamedTuple):
+    """Geometry phase of the vertex stage: morphed positions plus the
+    lattice state (sample coordinates + morph factors) the attribute
+    phase needs. Lets a depth-only consumer (the map-mode light raster)
+    share ONE geometry pass with the main pass, whose attributes can only
+    be computed after the shadow field exists (VERDICT r3 #4 — the
+    reference likewise runs TerrainPass::Render twice on the same
+    geometry, Renderer.cpp:354-367 + :401-415)."""
+
+    world: jnp.ndarray   # (I, S, S, 3)
+    u: jnp.ndarray       # (I, S) lattice sample u
+    v: jnp.ndarray       # (I, S) lattice sample v
+    k: jnp.ndarray       # (I, S, S) morph factor
+    h_m: jnp.ndarray     # (I, S, S) morphed height01 (ATTR_HEIGHT)
+
+
 def shifted_field(tex: jnp.ndarray, du: float, dv: float) -> jnp.ndarray:
     """tex resampled at (u+du, v+dv) on its own lattice, clamp addressing.
 
@@ -123,21 +139,18 @@ def _even_floor(x: jnp.ndarray, axis_r: int, axis_c: int) -> jnp.ndarray:
     return x
 
 
-def vertex_stage(
+def vertex_geometry(
     settings: TerrainSettings,
     instances: SelectedInstances,
     camera_pos: jnp.ndarray,       # (3,)
     heightmap: jnp.ndarray,        # (Ht, Wt) in [0,1]
-    albedo: jnp.ndarray,           # (Ht, Wt, 3)
-    shadow_field: jnp.ndarray,     # (Ht, Wt) in [0,1]
     max_height: jnp.ndarray,       # scalar
     lod_ranges: jnp.ndarray,       # (max_lods,)
-    nrm_field: jnp.ndarray | None = None,  # precomputed normal_fields()
-) -> VertexOutput:
-    """Fast (gather-free) vertex stage for all instances at once.
-
-    nrm_field: pass normal_fields(heightmap) precomputed once per
-    heightmap (it is static per texture; Renderer caches it)."""
+) -> VertexGeom:
+    """Geometry phase of the vertex stage: morph + displacement only
+    (positions exactly as vertex_stage computes them). Heights keep
+    HIGHEST sampling precision (they drive world positions and the
+    rasterizer; bf16 quantization is meters of terrain error)."""
     S = settings.verts_per_side
     world = float(settings.world_size)
     gs = float(settings.grid_size)
@@ -148,28 +161,8 @@ def vertex_stage(
     uz = instances.position[:, 2:3] + instances.extents[:, 2:3] * g[None, :]  # (I,S)
     u = texture.world_to_uv(ux, world)
     v = texture.world_to_uv(uz, world)
-
-    # separable bilinear sampling of every channel on the lattice.
-    # Heights keep HIGHEST precision (they drive world positions and the
-    # rasterizer; bf16 quantization is meters of terrain error). The
-    # visual channels (albedo, shadow, normal field) tolerate the default
-    # bf16 MXU pass (~0.4% relative) — half the sampling MXU cost, and
-    # identical on the f32 CPU/test path. They are stacked into ONE
-    # 7-channel texture so the whole visual set costs a single separable
-    # matmul pair instead of three.
-    if nrm_field is None:
-        nrm_field = normal_fields(heightmap)
     uv_mode = getattr(settings, "uv_mode", "lattice")
     h = texture.sample_separable(heightmap, u, v, mode=uv_mode)    # (I,S,S)
-    vis = jax.lax.Precision.DEFAULT
-    vis_tex = jnp.concatenate(
-        [albedo, nrm_field, shadow_field[..., None]], axis=-1
-    )                                                              # (H,W,7)
-    vis_s = texture.sample_separable(vis_tex, u, v, precision=vis,
-                                     mode=uv_mode)
-    alb = vis_s[..., 0:3]
-    nrm = vis_s[..., 3:6]
-    shad = vis_s[..., 6]
 
     # per-vertex morph factor from the UNmorphed position (terrain_vs.hlsl:46)
     wx = jnp.broadcast_to(ux[:, None, :], (ux.shape[0], S, S))  # (I, r=z, c=x)
@@ -187,28 +180,76 @@ def vertex_stage(
     x_m = wx - frac_part[None, None, :] * ge * k
     z_m = wz - frac_part[None, :, None] * ge * k
 
-    # channel morph: blend toward the even-floor vertex value; identical to
-    # the reference at k in {0, 1}
-    def blend(q):
-        qe = _even_floor(q, 1, 2)
-        kk = k if q.ndim == 3 else k[..., None]
-        return q * (1.0 - kk) + qe * kk
-
-    h_m = blend(h)
-    alb_m = blend(alb)
-    nrm_m = blend(nrm)
-    shad_m = blend(shad)
-
+    h_m = _blend_even(h, k)
     y = h_m * max_height
     world_pos = jnp.stack([x_m, y, z_m], axis=-1)
+    return VertexGeom(world=world_pos, u=u, v=v, k=k, h_m=h_m)
 
+
+def _blend_even(q: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Channel morph: blend toward the even-floor vertex value; identical
+    to the reference at k in {0, 1}."""
+    qe = _even_floor(q, 1, 2)
+    kk = k if q.ndim == 3 else k[..., None]
+    return q * (1.0 - kk) + qe * kk
+
+
+def vertex_attrs(
+    settings: TerrainSettings,
+    geom: VertexGeom,
+    albedo: jnp.ndarray,           # (Ht, Wt, 3)
+    shadow_field: jnp.ndarray,     # (Ht, Wt) in [0,1]
+    nrm_field: jnp.ndarray,        # precomputed normal_fields()
+) -> jnp.ndarray:
+    """Attribute phase: sample + morph the visual channels on the
+    geometry phase's lattice. The visual channels (albedo, shadow,
+    normal field) tolerate the default bf16 MXU pass (~0.4% relative) —
+    half the sampling MXU cost, and identical on the f32 CPU/test path.
+    They are stacked into ONE 7-channel texture so the whole visual set
+    costs a single separable matmul pair instead of three."""
+    uv_mode = getattr(settings, "uv_mode", "lattice")
+    vis = jax.lax.Precision.DEFAULT
+    vis_tex = jnp.concatenate(
+        [albedo, nrm_field, shadow_field[..., None]], axis=-1
+    )                                                              # (H,W,7)
+    vis_s = texture.sample_separable(vis_tex, geom.u, geom.v,
+                                     precision=vis, mode=uv_mode)
+    alb_m = _blend_even(vis_s[..., 0:3], geom.k)
+    nrm_m = _blend_even(vis_s[..., 3:6], geom.k)
+    shad_m = _blend_even(vis_s[..., 6], geom.k)
     nrm_m = nrm_m / jnp.sqrt(
         jnp.sum(nrm_m * nrm_m, axis=-1, keepdims=True) + 1e-20
     )
-    attrs = jnp.concatenate(
-        [alb_m, nrm_m, shad_m[..., None], h_m[..., None]], axis=-1
+    return jnp.concatenate(
+        [alb_m, nrm_m, shad_m[..., None], geom.h_m[..., None]], axis=-1
     )
-    return VertexOutput(world=world_pos, attrs=attrs)
+
+
+def vertex_stage(
+    settings: TerrainSettings,
+    instances: SelectedInstances,
+    camera_pos: jnp.ndarray,       # (3,)
+    heightmap: jnp.ndarray,        # (Ht, Wt) in [0,1]
+    albedo: jnp.ndarray,           # (Ht, Wt, 3)
+    shadow_field: jnp.ndarray,     # (Ht, Wt) in [0,1]
+    max_height: jnp.ndarray,       # scalar
+    lod_ranges: jnp.ndarray,       # (max_lods,)
+    nrm_field: jnp.ndarray | None = None,  # precomputed normal_fields()
+) -> VertexOutput:
+    """Fast (gather-free) vertex stage for all instances at once:
+    vertex_geometry + vertex_attrs (split so the map-mode light raster
+    can share the geometry phase — its attributes depend on the shadow
+    field the light raster itself produces).
+
+    nrm_field: pass normal_fields(heightmap) precomputed once per
+    heightmap (it is static per texture; Renderer caches it)."""
+    if nrm_field is None:
+        nrm_field = normal_fields(heightmap)
+    geom = vertex_geometry(
+        settings, instances, camera_pos, heightmap, max_height, lod_ranges
+    )
+    attrs = vertex_attrs(settings, geom, albedo, shadow_field, nrm_field)
+    return VertexOutput(world=geom.world, attrs=attrs)
 
 
 # ---------------------------------------------------------------------------

@@ -74,6 +74,69 @@ def band_height(renderer: Renderer, mesh: Mesh) -> int:
     return cfg.height // n_tile
 
 
+def _sharded_executable(renderer: Renderer, mesh: Mesh, adapting: bool):
+    """Build (once) and cache the jitted shard_map frame-batch executable.
+
+    The reference never rebuilds pipeline state per frame (PSO cache,
+    TerrainPass.cpp:305-335); likewise the shard_map closure + jit here
+    is constructed once per (mesh topology, adaptation mode) and reused —
+    per-frame values (cameras, params, adaptation seed, scene transforms)
+    enter as traced arguments, so repeated calls hit the jit cache with
+    zero retracing."""
+    key = (
+        tuple(d.id for d in mesh.devices.flat),
+        mesh.shape["frame"],
+        mesh.shape["tile"],
+        adapting,
+    )
+    cache = renderer.__dict__.setdefault("_sharded_exec_cache", {})
+    if key in cache:
+        return cache[key]
+    band_h = band_height(renderer, mesh)
+
+    def one_band(eye, target, up, y0, carry_lum, params, dt, scene_xf):
+        cam = Camera(eye=eye, target=target, up=up)
+        if adapting:
+            out, new_lum = renderer._frame_impl(
+                cam, params, None, adapt=(carry_lum, dt),
+                band=(y0, band_h), axis_name="tile", scene_xf=scene_xf,
+            )
+        else:
+            out = renderer._frame_impl(
+                cam, params, None, band=(y0, band_h), scene_xf=scene_xf,
+            )
+            new_lum = carry_lum
+        return out.ldr, out.overflow, new_lum
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("frame"), P("frame"), P("frame"), P(), P(), P(), P()),
+        out_specs=(P("frame", "tile"), P("frame", "tile"),
+                   P("frame", "tile")),
+        check_rep=False,
+    )
+    def sharded(eyes, targets, ups, params, init_lum, dt, scene_xf):
+        tile_idx = jax.lax.axis_index("tile")
+        y0 = (tile_idx * band_h).astype(jnp.float32)
+
+        def step(carry_lum, args):
+            eye, target, up = args
+            ldr, ovf, new_lum = one_band(
+                eye, target, up, y0, carry_lum, params, dt, scene_xf
+            )
+            return new_lum, (ldr, ovf[None], new_lum[None])
+
+        _, (ldr, ovf, lum) = jax.lax.scan(
+            step, init_lum, (eyes, targets, ups)
+        )
+        return ldr, ovf, lum
+
+    fn = jax.jit(sharded)
+    cache[key] = fn
+    return fn
+
+
 def render_frames_sharded(
     renderer: Renderer,
     cameras: Camera,          # fields with leading (B,) axis
@@ -96,48 +159,23 @@ def render_frames_sharded(
     return_aux: also return (overflow (B, n_tile) bool — any band's OR is
     the frame's overflow — and adapted (B, n_tile) float32, columns
     identical when adaptation runs).
+
+    The underlying shard_map executable is cached per (mesh topology,
+    adaptation mode): camera values, params, the adaptation seed, and
+    scene transforms are all traced arguments, so repeated calls (the
+    steady-state frame loop) compile nothing.
     """
-    cfg = renderer.config
-    band_h = band_height(renderer, mesh)
     adapting = adapted_lum is not None
-
-    def one_band(eye, target, up, y0, carry_lum):
-        cam = Camera(eye=eye, target=target, up=up)
-        if adapting:
-            out, new_lum = renderer._frame_impl(
-                cam, params, None, adapt=(carry_lum, jnp.float32(dt)),
-                band=(y0, band_h), axis_name="tile",
-            )
-        else:
-            out = renderer._frame_impl(
-                cam, params, None, band=(y0, band_h),
-            )
-            new_lum = carry_lum
-        return out.ldr, out.overflow, new_lum
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P("frame"), P("frame"), P("frame")),
-        out_specs=(P("frame", "tile"), P("frame", "tile"),
-                   P("frame", "tile")),
-        check_rep=False,
+    fn = _sharded_executable(renderer, mesh, adapting)
+    scene_xf = (
+        renderer.scene_transforms if renderer._scene_obj is not None
+        else None
     )
-    def sharded(eyes, targets, ups):
-        tile_idx = jax.lax.axis_index("tile")
-        y0 = (tile_idx * band_h).astype(jnp.float32)
-
-        def step(carry_lum, args):
-            eye, target, up = args
-            ldr, ovf, new_lum = one_band(eye, target, up, y0, carry_lum)
-            return new_lum, (ldr, ovf[None], new_lum[None])
-
-        init = jnp.float32(adapted_lum if adapting else 0.5)
-        _, (ldr, ovf, lum) = jax.lax.scan(step, init, (eyes, targets, ups))
-        return ldr, ovf, lum
-
-    frames, overflow, adapted = sharded(
-        cameras.eye, cameras.target, cameras.up
+    frames, overflow, adapted = fn(
+        cameras.eye, cameras.target, cameras.up, params,
+        jnp.float32(adapted_lum if adapting else 0.5),
+        jnp.float32(dt if adapting else 0.0),
+        scene_xf,
     )
     if return_aux:
         return frames, overflow, adapted

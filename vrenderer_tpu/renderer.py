@@ -219,7 +219,8 @@ class Renderer:
 
     def _terrain_pass(self, vc: Dict[str, jnp.ndarray], params: FrameParams,
                       shadow_field: jnp.ndarray, instances=None,
-                      mesh_shadow_fn=None, band=None, scene_wa=None):
+                      mesh_shadow_fn=None, band=None, scene_wa=None,
+                      vout=None):
         """Select -> vertex -> setup -> rasterize. Returns raster products.
         A precomputed instance set freezes selection (lock-view).
         ``mesh_shadow_fn`` maps scene vertex positions (B, V, 3) to shadow
@@ -239,17 +240,26 @@ class Renderer:
         if band is not None:
             y0, out_h = band
             y0 = jnp.asarray(y0, jnp.float32)
-        if instances is None:
-            planes = math3d.frustum_planes(vc["world_to_clip"])
-            instances = quadtree.select_all_surfaces(
-                ts, vc["camera_pos"], planes, ts.lod_ranges()
+        if vout is None:
+            if instances is None:
+                planes = math3d.frustum_planes(vc["world_to_clip"])
+                instances = quadtree.select_all_surfaces(
+                    ts, vc["camera_pos"], planes, ts.lod_ranges()
+                )
+            instances = self._clip_active(instances)
+            vout = vertex.vertex_stage(
+                ts, instances, vc["camera_pos"], self.heightmap,
+                self.albedo, shadow_field, params.max_height,
+                ts.lod_ranges(), nrm_field=self._nrm_field,
             )
-        instances = self._clip_active(instances)
-        vout = vertex.vertex_stage(
-            ts, instances, vc["camera_pos"], self.heightmap, self.albedo,
-            shadow_field, params.max_height, ts.lod_ranges(),
-            nrm_field=self._nrm_field,
-        )
+        # else: precomputed (instances, vout) from the shared map-mode
+        # geometry pass (VERDICT r3 #4) — instances is the light pass's
+        # whole-world selection, a SUPERSET of the main-frustum selection
+        # from the same eye (frustum culling only removes; LOD recursion
+        # depends only on ranges), so the extra instances are exactly the
+        # off-screen ones the bbox binning culls. Coverage and depth are
+        # unchanged; only exact-z seam ties can re-break (instance ids
+        # renumber under the superset's compaction).
         s_world = s_attrs = None
         n_scene = 0
         if scene_wa is not None:
@@ -318,6 +328,7 @@ class Renderer:
                 max_work=self.max_work,
                 interpret=self.interpret,
                 wire_px=wire_px,
+                rounds_blk=cfg.raster.compact_rounds_blk,
             )
             return z, prim_id, attrs, instances, work.num_items
         return z, prim_id, attrs, instances, jnp.int32(0)
@@ -469,14 +480,38 @@ class Renderer:
         world_size = float(cfg.terrain.world_size)
         mesh_shadow_fn = None
         shadow_overflow = jnp.int32(0)
+        shared_vout = shared_instances = None
         if cfg.shadow_mode == "map":
-            (depth_map, wtc_l, z_range, shadow_overflow,
-             shear) = self._light_depth_pass(
-                params, vc["camera_pos"], scene_wa=scene_wa
+            # share selection + vertex geometry with the main pass
+            # (VERDICT r3 #4): the light pass's whole-world selection is
+            # a superset of the main-frustum selection from the same eye,
+            # so the main raster consumes the SAME geometry (its bbox
+            # binning culls the off-screen extras) and only the attribute
+            # phase — which needs the shadow field this pass produces —
+            # runs separately (vertex.vertex_attrs). lock-view keeps its
+            # own frozen main selection, so sharing is skipped there.
+            share = lock_instances is None
+            out_l = self._light_depth_pass(
+                params, vc["camera_pos"], scene_wa=scene_wa,
+                return_geom=share,
             )
+            if share:
+                (depth_map, wtc_l, z_range, shadow_overflow, shear,
+                 shared_instances, geom_l) = out_l
+            else:
+                (depth_map, wtc_l, z_range, shadow_overflow,
+                 shear) = out_l
             shadow_field = self.shadow_field_from_map(
                 depth_map, shear, params
             )
+            if share:
+                shared_vout = vertex.VertexOutput(
+                    world=geom_l.world,
+                    attrs=vertex.vertex_attrs(
+                        cfg.terrain, geom_l, self.albedo, shadow_field,
+                        self._nrm_field,
+                    ),
+                )
             if scene_wa is not None:
                 def mesh_shadow_fn(w):
                     return shadow.shadow_factors_from_map(
@@ -509,8 +544,10 @@ class Renderer:
 
         # "Terrain": geometry + visibility + interpolated G-buffer attrs
         z, prim_id, attrs, instances, n_work = self._terrain_pass(
-            vc, params, shadow_field, lock_instances,
+            vc, params, shadow_field,
+            shared_instances if lock_instances is None else lock_instances,
             mesh_shadow_fn=mesh_shadow_fn, band=band, scene_wa=scene_wa,
+            vout=shared_vout,
         )
         covered = (prim_id >= 0) & (params.render_terrain > 0.5)
 
@@ -678,7 +715,7 @@ class Renderer:
 
     def _light_depth_pass(self, params: FrameParams,
                           camera_pos: Optional[jnp.ndarray] = None,
-                          scene_wa=None):
+                          scene_wa=None, return_geom: bool = False):
         """Depth-only raster of terrain + scene meshes along the sun's
         rays on the Pallas kernel — the reference's shadow phase
         (TerrainPass depth-only, Renderer.cpp:354-367, plus the scene
@@ -718,11 +755,19 @@ class Renderer:
             ts, camera_pos, planes, ts.lod_ranges()
         )
         instances = self._clip_active(instances)
-        shadow_field = jnp.ones_like(self.heightmap)
-        vout = vertex.vertex_stage(
-            ts, instances, camera_pos, self.heightmap, self.albedo,
-            shadow_field, params.max_height, ts.lod_ranges(),
-            nrm_field=self._nrm_field,
+        # geometry only: the depth raster never reads attribute planes,
+        # so attrs are constant zeros (XLA folds their setup/pack away).
+        # The geometry is shared with the main pass in map mode
+        # (return_geom) — its attrs are computed later, once the shadow
+        # field this depth map produces exists (vertex.vertex_attrs).
+        geom = vertex.vertex_geometry(
+            ts, instances, camera_pos, self.heightmap, params.max_height,
+            ts.lod_ranges(),
+        )
+        vout = vertex.VertexOutput(
+            world=geom.world,
+            attrs=jnp.zeros(geom.world.shape[:3] + (vertex.NUM_ATTRS,),
+                            jnp.float32),
         )
         if self.raster_backend == "xla":
             setup = raster.setup_triangles(
@@ -745,6 +790,8 @@ class Renderer:
                 )
             z, _, _ = raster.rasterize_xla(setup, res, res)
             ovf = (instances.count > self.max_active).astype(jnp.int32)
+            if return_geom:
+                return z, wtc, z_range, ovf, shear, instances, geom
             return z, wtc, z_range, ovf, shear
         packed, bbox, usable, dist = self._packed_geometry(
             vout.world, vout.attrs, instances.valid, wtc, res, res,
@@ -762,11 +809,14 @@ class Renderer:
             sub_h=cfg.raster.subtile_h, compact_k=cfg.raster.compact_k,
             win_w=cfg.raster.win_w,
             max_work=self.max_work, interpret=self.interpret,
+            rounds_blk=cfg.raster.compact_rounds_blk,
         )
         ovf = (
             (work.num_items > self.max_work)
             | (instances.count > self.max_active)
         ).astype(jnp.int32)
+        if return_geom:
+            return z, wtc, z_range, ovf, shear, instances, geom
         return z, wtc, z_range, ovf, shear
 
     def render_shadow_depth(self, params: Optional[FrameParams] = None
