@@ -1013,14 +1013,19 @@ def _raster_kernel(
                     coef[0:9, :] * px + coef[9:18, :] * py
                     + coef[18:27, :]
                 )                                     # (9, P)
-                vparts.append(vals.reshape(9, sub_h, win_w))
-            out = jnp.concatenate(
-                [jnp.concatenate(vparts, axis=2)]
-                + [jnp.zeros((7, sub_h, tile), jnp.float32)], axis=0
-            ) if n_win > 1 else jnp.concatenate(
-                [vparts[0].reshape(9, P),
-                 jnp.zeros((7, P), jnp.float32)], axis=0
-            ).reshape(16, sub_h, tile)
+                # perspective divide HERE (same guarded formula as the
+                # XLA oracle): the output carries only the 8 resolved
+                # attribute channels — 8 fewer (H, W) planes of HBM
+                # write+read than shipping inv_w + attr-over-w out
+                inv_w = vals[0:1, :]
+                denom = jnp.where(jnp.abs(inv_w) > 1e-20, inv_w, 1.0)
+                vparts.append(
+                    (vals[1:9, :] / denom).reshape(8, sub_h, win_w)
+                )
+            out = (
+                jnp.concatenate(vparts, axis=2) if n_win > 1
+                else vparts[0].reshape(8, sub_h, tile)
+            )
             attr_ref[:, s * sub_h:(s + 1) * sub_h, :] = out
 
 
@@ -1047,8 +1052,10 @@ def rasterize_pallas(
     rounds_blk: int = 0,
 ):
     """Returns (z (H, W), id (H, W) i32 [-1 = background], attrs (H, W, 8),
-    inv_w (H, W)). H/W are padded to tile multiples then cropped.
-    ``win_w`` must match the build_work_list call that made ``work``."""
+    None). H/W are padded to tile multiples then cropped. Attributes are
+    perspective-divided at kernel finalize (the fourth slot kept for
+    call-site compatibility). ``win_w`` must match the build_work_list
+    call that made ``work``."""
     tri_data = packed.tri_data
     I, C, T = tri_data.shape
     assert C == _R_TOTAL
@@ -1087,7 +1094,7 @@ def rasterize_pallas(
                 (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
             ),
             pl.BlockSpec(
-                (16, tile, tile),
+                (8, tile, tile),
                 lambda w, meta, sr: (0, meta[6, w], meta[7, w]),
             ),
         ],
@@ -1117,7 +1124,7 @@ def rasterize_pallas(
         out_shape=[
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
-            jax.ShapeDtypeStruct((16, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((8, pad_h, pad_w), jnp.float32),
         ],
         interpret=interpret,
     )(work.meta, work.sub_rounds, tri_data, packed.tri_cols)
@@ -1128,10 +1135,11 @@ def rasterize_pallas(
     worst = -F32_FAR if reverse_z else F32_FAR
     background = z == worst
     idb = jnp.where(background, jnp.int32(-1), idb)
-    inv_w = attr[0]
-    denom = jnp.where(jnp.abs(inv_w) > 1e-20, inv_w, 1.0)
-    attrs = jnp.moveaxis(attr[1:9], 0, -1) / denom[..., None]
-    return z, idb, attrs, inv_w
+    # attrs are already perspective-divided at kernel finalize (the
+    # fourth return slot is kept for call-site compatibility; no caller
+    # consumed inv_w)
+    attrs = jnp.moveaxis(attr, 0, -1)
+    return z, idb, attrs, None
 
 
 @functools.partial(
