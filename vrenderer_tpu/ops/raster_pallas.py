@@ -606,18 +606,18 @@ def _raster_kernel(
 ):
     if depth_only:
         if rounds_blk:
-            z_ref, z_scr, ranks, blk_scr = refs
+            z_ref, z_scr, ranks, blk_scr, oh_scr = refs
         else:
-            (z_ref, z_scr, ranks), blk_scr = refs, None
+            (z_ref, z_scr, ranks), blk_scr, oh_scr = refs, None, None
         id_ref = attr_ref = id_scr = coef_acc = None
     else:
         if rounds_blk:
             (z_ref, id_ref, attr_ref, z_scr, id_scr, coef_acc, ranks,
-             blk_scr) = refs
+             blk_scr, oh_scr) = refs
         else:
             (z_ref, id_ref, attr_ref, z_scr, id_scr, coef_acc,
              ranks) = refs
-            blk_scr = None
+            blk_scr = oh_scr = None
     w = pl.program_id(0)
     first = meta_ref[2, w]
     last = meta_ref[3, w]
@@ -885,82 +885,73 @@ def _raster_kernel(
             # per-round 32-row dots left 3/4 idle. Bit-identical to the
             # per-round path: same one-hot partial sums in the same
             # association, rounds visited in the same order.
+            #
+            # The slot -> (cell, round-in-cell) mapping is walked with
+            # the SAME SMEM while-loop the consume loop uses, writing
+            # each slot's (K, T) one-hot block into oh_scr at a STATIC
+            # sublane offset (the build loop unrolls over the RB slots).
+            # An earlier formulation derived the mapping with MXU
+            # selection dots over an (RO, n_cell) tensor; Mosaic cannot
+            # lower its narrow-minor-dim bf16 operands (a
+            # vector<128x8xbf16> -> f32 cast mis-emits as a same-type
+            # vector.broadcast on v5e) and the dots cost more than this
+            # scalar walk anyway.
             RB = rounds_blk
-            RO = RB * K
             ntdims = (((1,), (1,)), ((), ()))
-            nndims = (((1,), (0,)), ((), ()))
-
-            # per-cell round counts as a lane vector, from the SAME mask
-            # the ranks were built from (exact: bf16 0/1 dot, f32 acc)
-            ones_row = jnp.ones((1, T), jnp.bfloat16)
-            counts_l = jax.lax.dot_general(
-                ones_row, mf.astype(jnp.bfloat16), ntdims,
-                preferred_element_type=jnp.float32,
-            )                                       # (1, n_cell)
-            rounds_l = jnp.ceil(counts_l * (1.0 / K))
-            cum_l = _lane_cumsum(rounds_l)          # inclusive
-            cum0_l = cum_l - rounds_l               # exclusive
-            # cum0 reaches n_cell*ceil(T/K) (> 256, not bf16-exact), so
-            # it rides 3-term splits through the row-selection dots
-            c_hi, c_mid, c_lo = _split3_bf16(cum0_l)
-            r_hi, r_mid, r_lo = _split3_bf16(ranks[:])
 
             R_total = jnp.int32(0)
             for cc in range(n_cell):
                 R_total = R_total + subr_ref[cc, w]
             n_chunks = (R_total + (RB - 1)) // RB
 
-            row_i = jax.lax.broadcasted_iota(jnp.int32, (RO, 1), 0)
-            k_row = (row_i % K).astype(jnp.float32)
-            slot_in_chunk = row_i // K
+            kiota_t = jax.lax.broadcasted_iota(jnp.int32, (K, T), 0)
+
+            def advance(s):
+                # skip to the next cell with rounds remaining; lands at
+                # n_cell when the item's slots are exhausted (dead
+                # trailing slots of the final chunk)
+                return jax.lax.while_loop(
+                    lambda t: (t[0] < n_cell)
+                    & (t[1] >= subr_ref[jnp.minimum(t[0], n_cell - 1), w]),
+                    lambda t: (t[0] + 1, jnp.int32(0)),
+                    s,
+                )
 
             def chunk_body(ch, carry):
-                s_row = (ch * RB + slot_in_chunk).astype(jnp.float32)
-                sel = (s_row >= cum0_l) & (s_row < cum_l)  # (RO, n_cell)
-                selb = sel.astype(jnp.bfloat16)
-                live_row = jnp.any(sel, axis=1, keepdims=True)
-
-                def sel_dot(hi, mid, lo, dims):
-                    return (jax.lax.dot_general(
-                        selb, lo, dims,
-                        preferred_element_type=jnp.float32,
-                    ) + jax.lax.dot_general(
-                        selb, mid, dims,
-                        preferred_element_type=jnp.float32,
-                    )) + jax.lax.dot_general(
-                        selb, hi, dims,
-                        preferred_element_type=jnp.float32,
-                    )
-
-                cum0_row = sel_dot(c_hi, c_mid, c_lo, ntdims)  # (RO, 1)
-                rankrow = sel_dot(r_hi, r_mid, r_lo, nndims)   # (RO, T)
-                target = (s_row - cum0_row) * K + k_row
-                target = jnp.where(live_row, target, -2.0)
-                oh = (rankrow == target).astype(jnp.bfloat16)  # (RO, T)
+                # pass 1: build the (RO, T) one-hot, one K-row block per
+                # slot (rank compare against this slot's K-window — the
+                # identical compare the per-round path feeds its dot)
+                c, ric = carry
+                for r in range(RB):
+                    c, ric = advance((c, ric))
+                    live = (c < n_cell).astype(jnp.float32)
+                    cr = jnp.minimum(c, n_cell - 1)
+                    rank_s = ranks[pl.ds(cr, 1), :]          # (1, T)
+                    slot = (kiota_t + ric * K).astype(jnp.float32)
+                    ohr = (rank_s == slot).astype(jnp.float32) * live
+                    oh_scr[pl.ds(r * K, K), :] = ohr.astype(jnp.bfloat16)
+                    ric = ric + 1
+                ohb = oh_scr[:]                              # (RO, T)
                 p_lo = jax.lax.dot_general(
-                    oh, d_lo, ntdims, preferred_element_type=jnp.float32,
+                    ohb, d_lo, ntdims, preferred_element_type=jnp.float32,
                 )
                 p_mid = jax.lax.dot_general(
-                    oh, d_mid, ntdims, preferred_element_type=jnp.float32,
+                    ohb, d_mid, ntdims, preferred_element_type=jnp.float32,
                 )
                 p_hi = jax.lax.dot_general(
-                    oh, d_hi, ntdims, preferred_element_type=jnp.float32,
+                    ohb, d_hi, ntdims, preferred_element_type=jnp.float32,
                 )
-                blk_scr[:] = (p_lo + p_mid) + p_hi             # (RO, CH)
+                blk_scr[:] = (p_lo + p_mid) + p_hi           # (RO, CH)
 
+                # pass 2: consume the live rounds in enumeration order
+                # (re-walks the same cheap SMEM advance from the saved
+                # chunk-start position)
                 live_n = jnp.minimum(RB, R_total - ch * RB)
 
                 def round_body(r, carry2):
-                    c2, ric = carry2
-                    # advance to the next cell with rounds remaining
-                    # (cheap: SMEM scalar reads only)
-                    c2, ric = jax.lax.while_loop(
-                        lambda s: s[1] >= subr_ref[s[0], w],
-                        lambda s: (s[0] + 1, jnp.int32(0)),
-                        (c2, ric),
-                    )
+                    c2, ric2 = advance(carry2)
                     do_round(c2, blk_scr[pl.ds(r * K, K), :])
-                    return (c2, ric + 1)
+                    return (c2, ric2 + 1)
 
                 return jax.lax.fori_loop(0, live_n, round_body, carry)
 
@@ -1103,7 +1094,8 @@ def rasterize_pallas(
             pltpu.VMEM((n_cell, P), jnp.int32),
             pltpu.VMEM((n_cell, 32, P), jnp.float32),
             pltpu.VMEM((n_cell, T), jnp.float32),
-        ] + ([pltpu.VMEM((rounds_blk * compact_k, _R_TOTAL), jnp.float32)]
+        ] + ([pltpu.VMEM((rounds_blk * compact_k, _R_TOTAL), jnp.float32),
+              pltpu.VMEM((rounds_blk * compact_k, T), jnp.bfloat16)]
              if rounds_blk else []),
     )
 
@@ -1202,7 +1194,8 @@ def rasterize_pallas_depth(
         scratch_shapes=[
             pltpu.VMEM((n_cell, P), jnp.float32),
             pltpu.VMEM((n_cell, T), jnp.float32),
-        ] + ([pltpu.VMEM((rounds_blk * compact_k, 19), jnp.float32)]
+        ] + ([pltpu.VMEM((rounds_blk * compact_k, 19), jnp.float32),
+              pltpu.VMEM((rounds_blk * compact_k, T), jnp.bfloat16)]
              if rounds_blk else []),
     )
 
