@@ -56,3 +56,16 @@ def test_shared_frame_equals_unshared_main_selection():
         np.asarray(shared.depth)[both], np.asarray(locked.depth)[both],
         atol=1e-6,
     )
+
+    # REGRESSION (round 4 hardware golden failure): the whole-world
+    # selection includes behind-camera instances whose clipless setup
+    # bboxes are conservative full-screen — unmasked they flooded the
+    # work list (6295 items vs 2048 capacity at the map bench config)
+    # and truncation punched 12% coverage holes. The share path masks
+    # the shared packing by exact (x, z, lod) MEMBERSHIP in the main
+    # selection (scripts/probe_sharemask.py for the rejected AABB
+    # rules), so its work list must EQUAL the unshared render's.
+    assert int(shared.num_work_items) == int(locked.num_work_items), (
+        f"shared work list differs: {int(shared.num_work_items)} vs "
+        f"unshared {int(locked.num_work_items)}"
+    )

@@ -49,7 +49,9 @@ def test_unprojection_matmul_requests_full_precision():
     assert "Precision.HIGHEST" in src
     # the sharded path must not carry its own unprojection: it renders
     # bands through the single frame path (same HIGHEST fix applies)
-    src2 = inspect.getsource(smod.render_frames_sharded)
+    # (the executable is built and cached by _sharded_executable,
+    # VERDICT r3 #5 — render_frames_sharded just invokes the cache)
+    src2 = inspect.getsource(smod._sharded_executable)
     assert "_frame_impl" in src2
     assert "clip_to_world" not in src2
 

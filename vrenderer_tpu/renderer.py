@@ -498,6 +498,50 @@ class Renderer:
             if share:
                 (depth_map, wtc_l, z_range, shadow_overflow, shear,
                  shared_instances, geom_l) = out_l
+                # The superset claim holds for COVERAGE, but the
+                # whole-world extras are poison for the work list: the
+                # clipless setup gives w<=0 triangles conservative
+                # full-screen bboxes, so every instance behind the main
+                # camera fans out to ~every supertile (measured: 6295
+                # work items vs 2048 capacity at the map bench config —
+                # truncation then punched 12% coverage holes in the
+                # hardware golden; a conservative AABB-frustum mask
+                # still left 3.4x the unshared work because tall boxes
+                # beside/behind the camera pass it,
+                # scripts/probe_sharemask.py). So run the MAIN-frustum
+                # selection too — it is ~0.02 ms, the sharing win is
+                # the vertex stage — and keep exactly its node set by
+                # membership: light slot i survives iff its (x, z, lod)
+                # node appears in the main selection. Node positions
+                # are computed by the identical formula in both
+                # selections, so f32 equality is exact; the main-pass
+                # instance set is then THE unshared selection by
+                # construction (same work list, same semantics incl.
+                # the not-frustum-tested quirk emissions), only packed
+                # in the light selection's slot order (prim-id
+                # renumbering — the already-documented seam-tie
+                # deviation).
+                planes_m = math3d.frustum_planes(vc["world_to_clip"])
+                inst_m = self._clip_active(quadtree.select_all_surfaces(
+                    cfg.terrain, vc["camera_pos"], planes_m,
+                    cfg.terrain.lod_ranges(),
+                ))
+                same = (
+                    (shared_instances.position[:, None, 0]
+                     == inst_m.position[None, :, 0])
+                    & (shared_instances.position[:, None, 2]
+                       == inst_m.position[None, :, 2])
+                    & (shared_instances.lod[:, None]
+                       == inst_m.lod[None, :])
+                    & inst_m.valid[None, :]
+                )
+                shared_instances = quadtree.SelectedInstances(
+                    position=shared_instances.position,
+                    extents=shared_instances.extents,
+                    lod=shared_instances.lod,
+                    valid=shared_instances.valid & same.any(axis=1),
+                    count=shared_instances.count,
+                )
             else:
                 (depth_map, wtc_l, z_range, shadow_overflow,
                  shear) = out_l
