@@ -184,6 +184,36 @@ def test_depth_only_kernel_matches_full_z():
     np.testing.assert_array_equal(np.asarray(z_d), np.asarray(z_full))
 
 
+def test_depth_kernel_z_invariant_across_subtile_h():
+    """The map-mode light raster runs at its own subtile height
+    (RasterSettings.light_subtile_h — the depth kernel's round/eval
+    balance flips the optimum vs the main kernel, scripts/kexp_light.py).
+    z must be bit-identical across sub_h: the per-pixel result is a pure
+    f32 min over covering triangles, which is order-free."""
+    inst, vout, setup, vc = _scene([25.0, 8.0, 25.0], [-10.0, 2.0, -10.0])
+    T = SET.tris_per_instance
+    packed = raster_pallas.pack_tri_data(setup, SET.max_instances, T,
+                                         tri_batch=64)
+    bbox, usable, dist = raster_pallas.instance_screen_bbox(
+        vout.world, vc["world_to_clip"], W, H, inst.valid
+    )
+
+    def depth_at(sub_h):
+        work = raster_pallas.build_work_list(
+            bbox, usable, W, H, tile=128, tris_per_inst=T, max_work=256,
+            order_key=dist, packed=packed, compact_k=16, sub_h=sub_h,
+        )
+        return np.asarray(raster_pallas.rasterize_pallas_depth(
+            packed, work, W, H, tile=128, sub_h=sub_h, compact_k=16,
+            max_work=256, interpret=True,
+        ))
+
+    z8 = depth_at(8)
+    assert (z8 < 1e30).sum() > 1000
+    np.testing.assert_array_equal(depth_at(16), z8)
+    np.testing.assert_array_equal(depth_at(4), z8)
+
+
 def test_work_list_structure():
     inst, vout, setup, vc = _scene([0.0, 20.0, 40.0], [0.0, 0.0, 0.0])
     bbox, usable, dist = raster_pallas.instance_screen_bbox(

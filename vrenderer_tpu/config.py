@@ -90,6 +90,16 @@ class RasterSettings:
     # at 1080p on v5e (vs 8: fewer active (item, subtile) pairs and
     # compaction rounds more than offset the 2x per-round pixel sweep).
     subtile_h: int = 16
+    # Subtile height for the LIGHT-VIEW depth-only raster (map-mode
+    # shadow map). The depth kernel drops the winner-swap dots and 29
+    # of 48 channels, so its round term is much cheaper than the main
+    # kernel's and the optimum flips: halving the eval sweep beats the
+    # 1.24x round count (measured on hardware at the map bench config,
+    # scripts/kexp_light.py: K=32 sub_h=8 24.8 ms vs sub16 29.8,
+    # sub4 33.3, K=16/sub8 32.4). Output z is bit-identical across
+    # values (min-merge is order-free;
+    # test_depth_kernel_z_invariant_across_subtile_h).
+    light_subtile_h: int = 8
     # Batch granularity for the host-side conservative z-range metadata
     # (feeds item-level early-z bounds in the work-list builder).
     tri_batch: int = 32

@@ -841,16 +841,19 @@ class Renderer:
             vout.world, vout.attrs, instances.valid, wtc, res, res,
             scene_wa=scene_wa,
         )
+        # the depth-only kernel's round/eval balance flips the subtile
+        # optimum (config.RasterSettings.light_subtile_h)
+        sub_l = cfg.raster.light_subtile_h
         work = raster_pallas.build_work_list(
             bbox, usable, res, res, tile=cfg.raster.tile_w,
             tris_per_inst=ts.tris_per_instance, max_work=self.max_work,
-            order_key=dist, packed=packed, sub_h=cfg.raster.subtile_h,
+            order_key=dist, packed=packed, sub_h=sub_l,
             compact_k=cfg.raster.compact_k,
             win_w=cfg.raster.win_w,
         )
         z = raster_pallas.rasterize_pallas_depth(
             packed, work, res, res, tile=cfg.raster.tile_w,
-            sub_h=cfg.raster.subtile_h, compact_k=cfg.raster.compact_k,
+            sub_h=sub_l, compact_k=cfg.raster.compact_k,
             win_w=cfg.raster.win_w,
             max_work=self.max_work, interpret=self.interpret,
             rounds_blk=cfg.raster.compact_rounds_blk,
