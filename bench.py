@@ -33,7 +33,12 @@ BASELINE_FPS = 120.0  # north-star target (BASELINE.json / BASELINE.md)
 # --mode 4k: BASELINE config 5 (prints per-pass counters to stderr).
 # --mode map: 1080p with shadow_mode="map" at 2048^2 (the reference's
 #   actual shadow architecture, Renderer.cpp:83-93) — one extra Pallas
-#   depth raster + filtered comparison sampling per frame.
+#   depth raster + filtered comparison sampling per frame. Shadow
+#   geometry is selected from the MAIN eye (view-matched LOD).
+# --mode mapref: map mode with shadow_select="light" — the reference's
+#   actual shadow-pass LOD semantics (TerrainPass.cpp:183 selects from
+#   the CSM proxy view's distant origin, collapsing the shadow mesh to
+#   the coarsest rings; see docs/PERFORMANCE.md for the quality cost).
 # --mode envelope: the reference workload envelope (TerrainPass.h:25
 #   MAX_INSTANCES=4096): 4-surface 4096m world at 4K from overhead
 #   cameras at the PEAK reachable selection. Note: CDLOD selection is
@@ -66,8 +71,9 @@ def build():
         ts = TerrainSettings(max_instances=1024)
     cfg = FrameConfig(
         width=WIDTH, height=HEIGHT, terrain=ts,
-        shadow_mode="map" if MODE == "map" else "horizon",
+        shadow_mode="map" if MODE in ("map", "mapref") else "horizon",
         shadow_resolution=2048,
+        shadow_select="light" if MODE == "mapref" else "main",
     )
     hm = hmod.procedural_heightmap(256)
     alb = hmod.procedural_albedo(hm)
@@ -83,7 +89,7 @@ def build():
     # which spans the whole world — its selection runs 544-592 over the
     # flythrough (CPU-probed), above the 512 budget that fits the main
     # camera; the frame surfaces that as overflow, so the budget rises
-    max_active = {"envelope": 1024, "map": 768}.get(MODE, 512)
+    max_active = {"envelope": 1024, "map": 768, "mapref": 768}.get(MODE, 512)
     max_work = 4096 if HEIGHT > 1200 else 2048
     if MODE == "envelope":
         max_work = 6144
@@ -219,6 +225,7 @@ def main():
     metric = {
         "4k": "terrain_flythrough_4k_fps",
         "map": "terrain_flythrough_1080p_shadowmap_fps",
+        "mapref": "terrain_flythrough_1080p_shadowmap_reflod_fps",
         "envelope": "terrain_envelope_4k_4096inst_fps",
         "ground": "terrain_ground_camera_1080p_fps",
     }.get(MODE, "terrain_flythrough_1080p_fps")

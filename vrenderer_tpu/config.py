@@ -155,6 +155,29 @@ class FrameConfig:
     # light-view depth raster + filtered comparison sampling at
     # vertex-rate receivers; costs one extra raster + O(N*R^2) sampling).
     shadow_mode: str = "horizon"
+    # LOD selection eye for the map-mode light-view raster:
+    #   "main"  — select/morph shadow geometry from the MAIN camera, so
+    #             shadow depth matches the rendered mesh exactly (no
+    #             LOD-mismatch acne). This is a quality deviation from
+    #             the reference and pays for it: the light raster renders
+    #             the full view-LOD triangle density.
+    #   "light" — reference parity: TerrainPass::Render is handed the
+    #             SHADOW view and selects from ITS origin
+    #             (TerrainPass.cpp:183 NodeSelect(view->GetViewOrigin()),
+    #             Renderer.cpp:348 — the CSM proxy view sits ~zRange =
+    #             WORLD_SIZE away along the sun), which collapses the
+    #             shadow mesh to the coarsest LOD rings. Far fewer
+    #             triangles in the light raster; shadow depth comes from
+    #             a coarser mesh than the one rendered (the reference's
+    #             actual behavior).
+    shadow_select: str = "main"
+    # Coarsen the light-view selection by this many LOD levels (halves
+    # every CDLOD visibility ring per step, so nodes select ~bias levels
+    # coarser). 0 = exactly the main pass's density. Applies on top of
+    # shadow_select="main"; a middle ground between the two eyes above
+    # (selection AND morph use the biased ranges, so the shadow mesh is
+    # still a crack-free CDLOD surface).
+    shadow_lod_bias: int = 0
 
     @property
     def aspect(self) -> float:

@@ -490,7 +490,15 @@ class Renderer:
             # phase — which needs the shadow field this pass produces —
             # runs separately (vertex.vertex_attrs). lock-view keeps its
             # own frozen main selection, so sharing is skipped there.
-            share = lock_instances is None
+            # sharing requires the light selection to be a same-eye,
+            # same-ranges superset of the main selection; a coarsened
+            # light selection (shadow_select="light" / shadow_lod_bias)
+            # is DIFFERENT geometry, so each pass selects its own
+            share = (
+                lock_instances is None
+                and cfg.shadow_select == "main"
+                and cfg.shadow_lod_bias == 0
+            )
             out_l = self._light_depth_pass(
                 params, vc["camera_pos"], scene_wa=scene_wa,
                 return_geom=share,
@@ -757,6 +765,35 @@ class Renderer:
             *shear, -params.light_direction[1],
         )
 
+    def _light_select(self, params: FrameParams, wtc,
+                      camera_pos: Optional[jnp.ndarray] = None):
+        """Light-view LOD selection (instances, sel_eye, sel_ranges),
+        culled by the light frustum of ``wtc``. The selection eye and
+        ranges follow cfg.shadow_select / cfg.shadow_lod_bias (see
+        _light_depth_pass); jittable."""
+        cfg = self.config
+        ts = cfg.terrain
+        planes = math3d.frustum_planes(wtc)
+        if camera_pos is None:
+            camera_pos = jnp.array([0.0, 1.0, 0.0], jnp.float32) \
+                * params.max_height
+        sel_eye = camera_pos
+        sel_ranges = ts.lod_ranges()
+        if cfg.shadow_select == "light":
+            # the CSM proxy eye: world-center ground point backed off
+            # one WORLD_SIZE along the sun (the reference's
+            # maxShadowDistance/zRange, Renderer.cpp:345-348)
+            ldir = math3d.normalize(params.light_direction)
+            sel_eye = -ldir * jnp.float32(float(ts.world_size))
+        if cfg.shadow_lod_bias:
+            sel_ranges = sel_ranges * jnp.float32(
+                0.5 ** cfg.shadow_lod_bias
+            )
+        instances = quadtree.select_all_surfaces(
+            ts, sel_eye, planes, sel_ranges
+        )
+        return self._clip_active(instances), sel_eye, sel_ranges
+
     def _light_depth_pass(self, params: FrameParams,
                           camera_pos: Optional[jnp.ndarray] = None,
                           scene_wa=None, return_geom: bool = False):
@@ -776,37 +813,37 @@ class Renderer:
         would silently drop occluders (holes of missing shadow), so it
         is surfaced exactly like the main pass's budget overflow.
 
-        LOD selection runs from the MAIN camera position when given, so
-        shadow geometry matches view geometry (avoids LOD-mismatch acne);
-        the light frustum still culls. The reference selects from the
-        shadow view's own (distant) eye, which collapses everything to
-        the coarsest LOD — strictly worse, so this deviation is kept.
+        LOD selection runs from the MAIN camera position by default
+        (cfg.shadow_select="main"), so shadow geometry matches view
+        geometry (no LOD-mismatch acne); the light frustum still culls.
+        cfg.shadow_select="light" instead selects (and morphs) from the
+        shadow view's own distant eye, the reference's actual behavior
+        (TerrainPass.cpp:183 NodeSelect(view->GetViewOrigin()) with the
+        CSM proxy view, Renderer.cpp:348): everything collapses to the
+        coarsest LOD rings — far cheaper, coarser shadow depth.
+        cfg.shadow_lod_bias coarsens the main-eye selection by N levels
+        (ranges halve per step; selection and morph stay consistent).
         """
         cfg = self.config
         ts = cfg.terrain
         res = cfg.shadow_resolution
-        world_size = float(ts.world_size)
         wtc, s_kx, s_kz, s_spx, s_spz = shadow.sun_shear_matrices(
-            params.light_direction, world_size, params.max_height, res,
+            params.light_direction, float(ts.world_size),
+            params.max_height, res,
         )
         shear = (s_kx, s_kz, s_spx, s_spz)
         z_range = shadow._SHEAR_FAR - 1.0
-        planes = math3d.frustum_planes(wtc)
-        if camera_pos is None:
-            camera_pos = jnp.array([0.0, 1.0, 0.0], jnp.float32) \
-                * params.max_height
-        instances = quadtree.select_all_surfaces(
-            ts, camera_pos, planes, ts.lod_ranges()
+        instances, sel_eye, sel_ranges = self._light_select(
+            params, wtc, camera_pos
         )
-        instances = self._clip_active(instances)
         # geometry only: the depth raster never reads attribute planes,
         # so attrs are constant zeros (XLA folds their setup/pack away).
         # The geometry is shared with the main pass in map mode
         # (return_geom) — its attrs are computed later, once the shadow
         # field this depth map produces exists (vertex.vertex_attrs).
         geom = vertex.vertex_geometry(
-            ts, instances, camera_pos, self.heightmap, params.max_height,
-            ts.lod_ranges(),
+            ts, instances, sel_eye, self.heightmap, params.max_height,
+            sel_ranges,
         )
         vout = vertex.VertexOutput(
             world=geom.world,
