@@ -133,19 +133,38 @@ class App:
                     write_png(f"{dump_dir}/frame_{i:04d}.png", ldr)
             outputs.append(out)
 
+        # static-scene shadow-map cache: under shadow_select="light" the
+        # whole-world sheared shadow map is camera-independent, so the
+        # loop rasters it once and re-rasters only when the sun or the
+        # scene moves (renderer.cached_shadow_prepass re-keys per frame)
+        cfg = self.config
+        use_shadow_cache = (
+            cfg.shadow_mode == "map"
+            and cfg.shadow_select == "light"
+            and cfg.shadow_cache
+        )
         for i in range(num_frames):
             self.profiler.begin_frame()
             cam = Camera(
                 eye=cams.eye[i], target=cams.target[i], up=cams.up[i]
             )
+            prepass = None
+            if use_shadow_cache:
+                with self.profiler.scope("ShadowMap"):
+                    prepass = self.renderer.cached_shadow_prepass(
+                        self.params
+                    )
             with self.profiler.scope("Render"):
                 if adapt:
                     out, adapted_lum = self.renderer.render_adaptive(
-                        cam, self.params, adapted_lum, dt
+                        cam, self.params, adapted_lum, dt,
+                        shadow_prepass=prepass,
                     )
                     lum_trace.append(adapted_lum)
                 else:
-                    out = self.renderer.render(cam, self.params)
+                    out = self.renderer.render(
+                        cam, self.params, shadow_prepass=prepass
+                    )
             in_flight.append((i, out))
             if len(in_flight) >= frames_in_flight:
                 retire(*in_flight.pop(0))

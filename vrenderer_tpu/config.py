@@ -178,6 +178,16 @@ class FrameConfig:
     # (selection AND morph use the biased ranges, so the shadow mesh is
     # still a crack-free CDLOD surface).
     shadow_lod_bias: int = 0
+    # Static-scene shadow-map cache: when shadow_select="light", the
+    # whole-world sheared shadow map depends only on (sun, max_height,
+    # scene transforms, heightmap) — not the camera — so drive loops
+    # (App, bench --mode mapcache) raster it once and reuse it until one
+    # of those changes (Renderer.cached_shadow_prepass). Exact: the
+    # cached frame is bit-identical to the per-frame-raster frame
+    # (tests/test_shadow_cache.py). The reference has no analog — its
+    # CSM view is camera-fit per frame (Renderer.cpp:345-348), ours is
+    # not. Ignored under shadow_select="main" (camera-dependent).
+    shadow_cache: bool = True
 
     @property
     def aspect(self) -> float:

@@ -444,7 +444,7 @@ class Renderer:
 
     def _frame_impl(self, camera: Camera, params: FrameParams,
                     lock_instances, adapt=None, band=None, axis_name=None,
-                    scene_xf=None):
+                    scene_xf=None, shadow_prepass=None):
         """The one frame path (reference: the single RecordCommand,
         Renderer.cpp:321-446). ``band=(y0, band_h)`` renders only a
         horizontal screen band of the same frame — the sharded path calls
@@ -453,7 +453,15 @@ class Renderer:
         the single-chip frame. ``axis_name``: mesh axis to psum image
         reductions (eye adaptation) over when banded. ``scene_xf``:
         traced per-instance scene transforms; defaults to the renderer's
-        current scene_transforms."""
+        current scene_transforms. ``shadow_prepass``: a precomputed
+        map-mode light-pass result (the tuple ``shadow_prepass()``
+        returns) — the whole-world sheared shadow map is
+        camera-independent under ``shadow_select="light"``, so callers
+        may raster it ONCE and reuse it until the sun or the scene
+        moves (``cached_shadow_prepass``); the in-frame light raster is
+        then skipped. The reference cannot do this: its CSM shadow view
+        is fit to the main camera per frame (SetupForPlanarViewStable,
+        Renderer.cpp:345-348)."""
         cfg = self.config
         vc = make_view_constants(
             camera, cfg.width, cfg.height, cfg.vfov_degrees,
@@ -481,7 +489,23 @@ class Renderer:
         mesh_shadow_fn = None
         shadow_overflow = jnp.int32(0)
         shared_vout = shared_instances = None
-        if cfg.shadow_mode == "map":
+        if cfg.shadow_mode == "map" and shadow_prepass is not None:
+            # cached whole-world shadow map (see docstring): the light
+            # raster already ran outside the frame; geometry sharing
+            # does not apply (the cache is only valid for the
+            # camera-independent shadow_select="light" selection, where
+            # sharing is disabled anyway)
+            (depth_map, wtc_l, z_range, shadow_overflow,
+             shear) = shadow_prepass
+            shadow_field = self.shadow_field_from_map(
+                depth_map, shear, params
+            )
+            if scene_wa is not None:
+                def mesh_shadow_fn(w):
+                    return shadow.shadow_factors_from_map(
+                        depth_map, wtc_l, z_range, w.reshape(-1, 3)
+                    ).reshape(w.shape[:2])
+        elif cfg.shadow_mode == "map":
             # share selection + vertex geometry with the main pass
             # (VERDICT r3 #4): the light pass's whole-world selection is
             # a superset of the main-frustum selection from the same eye,
@@ -665,16 +689,27 @@ class Renderer:
             return out, new_adapted
         return out
 
-    def render(self, camera: Camera, params: Optional[FrameParams] = None
-               ) -> FrameOutput:
+    def render(self, camera: Camera, params: Optional[FrameParams] = None,
+               shadow_prepass=None) -> FrameOutput:
         if params is None:
             params = FrameParams.default(self.light)
         # scene_transforms ride as a traced jit ARGUMENT (None when no
         # scene): editing them re-renders without recompiling
+        if shadow_prepass is not None:
+            if not hasattr(self, "_frame_prepass_jit"):
+                self._frame_prepass_jit = jax.jit(
+                    lambda c, p, xf, sp: self._frame_impl(
+                        c, p, None, scene_xf=xf, shadow_prepass=sp
+                    )
+                )
+            return self._frame_prepass_jit(
+                camera, params, self.scene_transforms, shadow_prepass
+            )
         return self._frame_jit(camera, params, self.scene_transforms)
 
     def render_adaptive(self, camera: Camera, params: FrameParams,
-                        adapted_lum, dt, instances=None):
+                        adapted_lum, dt, instances=None,
+                        shadow_prepass=None):
         """Render with eye adaptation; thread the returned adapted
         luminance into the next call (seed: lighting.adapt_exposure's
         clamp midpoint, e.g. 0.5). Returns (FrameOutput, adapted_lum).
@@ -692,6 +727,18 @@ class Renderer:
                 camera, params, instances,
                 jnp.float32(adapted_lum), jnp.float32(dt),
                 self.scene_transforms,
+            )
+        if shadow_prepass is not None:
+            if not hasattr(self, "_frame_adaptive_prepass_jit"):
+                self._frame_adaptive_prepass_jit = jax.jit(
+                    lambda c, p, a, d, xf, sp: self._frame_impl(
+                        c, p, None, adapt=(a, d), scene_xf=xf,
+                        shadow_prepass=sp,
+                    )
+                )
+            return self._frame_adaptive_prepass_jit(
+                camera, params, jnp.float32(adapted_lum),
+                jnp.float32(dt), self.scene_transforms, shadow_prepass,
             )
         if not hasattr(self, "_frame_adaptive_jit"):
             self._frame_adaptive_jit = jax.jit(self._frame_adaptive)
@@ -902,6 +949,60 @@ class Renderer:
         if return_geom:
             return z, wtc, z_range, ovf, shear, instances, geom
         return z, wtc, z_range, ovf, shear
+
+    def shadow_prepass(self, params: Optional[FrameParams] = None):
+        """Run the map-mode light pass standalone and return its result
+        tuple (depth_map, world_to_clip, z_range, overflow, shear) for
+        reuse via ``render(..., shadow_prepass=...)``.
+
+        Only meaningful under ``shadow_select="light"``: there the
+        selection eye is the CSM proxy origin (a pure function of the
+        sun), so the whole pass depends only on (sun, max_height, scene
+        transforms, heightmap) — NOT the camera — and one raster serves
+        every frame until those change. The reference re-renders its
+        shadow map every frame because its shadow view is camera-fit
+        (Renderer.cpp:345-348); the whole-world sheared projection has
+        no such dependence, which makes the static-scene cache exact
+        (tests/test_shadow_cache.py asserts bit-equality with the
+        in-frame pass)."""
+        cfg = self.config
+        assert cfg.shadow_mode == "map", "shadow_prepass needs map mode"
+        assert cfg.shadow_select == "light", (
+            "the cached shadow map is camera-independent only under "
+            "shadow_select='light' (main-eye selection tracks the camera)"
+        )
+        if params is None:
+            params = FrameParams.default(self.light)
+        if not hasattr(self, "_shadow_prepass_jit"):
+            def prepass(p, xf):
+                wa = None
+                if self._scene_obj is not None:
+                    wa = self._scene_blocks(xf, p.max_height)
+                return self._light_depth_pass(p, scene_wa=wa)
+
+            self._shadow_prepass_jit = jax.jit(prepass)
+        return self._shadow_prepass_jit(params, self.scene_transforms)
+
+    def cached_shadow_prepass(self, params: Optional[FrameParams] = None):
+        """``shadow_prepass`` memoized on the values it depends on (sun
+        direction, max height, scene transforms): recomputes only when
+        one changes, otherwise returns the stored device arrays. The
+        per-frame analog of a real engine's static-scene shadow-map
+        cache; drive loops call this every frame."""
+        import numpy as np
+
+        if params is None:
+            params = FrameParams.default(self.light)
+        key = (
+            np.asarray(params.light_direction).tobytes(),
+            np.asarray(params.max_height).tobytes(),
+            None if self.scene_transforms is None
+            else np.asarray(self.scene_transforms).tobytes(),
+        )
+        cached = getattr(self, "_shadow_prepass_cache", None)
+        if cached is None or cached[0] != key:
+            self._shadow_prepass_cache = (key, self.shadow_prepass(params))
+        return self._shadow_prepass_cache[1]
 
     def render_shadow_depth(self, params: Optional[FrameParams] = None
                             ) -> jnp.ndarray:
