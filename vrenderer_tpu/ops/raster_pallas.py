@@ -832,6 +832,10 @@ def _raster_kernel(
             return 0
         if rounds_blk == 0:
             # v11 path: one one-hot compaction dot per round
+            kiota_f = jax.lax.broadcasted_iota(
+                jnp.int32, (K, T), 0
+            ).astype(jnp.float32)                         # loop-invariant
+
             def cell_body(c, _):
                 n_rounds = subr_ref[c, w]
                 # Early-z stays ITEM-level only: a per-cell variant (the
@@ -843,11 +847,14 @@ def _raster_kernel(
                 run_cell = n_rounds > 0
 
                 def round_body(r, _):
-                    rank_s = ranks[pl.ds(c, 1), :]        # (1, T)
-                    slot = jax.lax.broadcasted_iota(
-                        jnp.int32, (K, T), 0
-                    ).astype(jnp.float32) + (r * K).astype(jnp.float32)
-                    oh = (rank_s == slot).astype(jnp.bfloat16)  # (K, T)
+                    # shift the RANK (one (1, T) subtract, exact: both
+                    # sides are integers < 2^24 in f32) instead of the
+                    # (K, T) slot iota — saves a full (K, T) VPU add per
+                    # round against the hoisted kiota_f. Bit-identical:
+                    # rank - r*K == kiota  <=>  rank == kiota + r*K.
+                    rank_s = (ranks[pl.ds(c, 1), :]
+                              - (r * K).astype(jnp.float32))  # (1, T)
+                    oh = (rank_s == kiota_f).astype(jnp.bfloat16)  # (K, T)
                     # NT contraction (both operands contract on lanes):
                     # the component-major (48, T) layout needs no
                     # transpose. Compaction partials per split term: each
