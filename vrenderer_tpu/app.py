@@ -23,7 +23,7 @@ from vrenderer_tpu.config import FrameConfig
 from vrenderer_tpu.camera import Camera, flythrough, make_view_constants
 from vrenderer_tpu.ops import lighting, raster, raster_pallas, shadow, vertex
 from vrenderer_tpu.profiler import FrameProfiler, PassTimer
-from vrenderer_tpu.renderer import Renderer, FrameParams
+from vrenderer_tpu.renderer import Renderer, FrameParams, overflow_message
 from vrenderer_tpu.terrain import heightmap as hmod
 from vrenderer_tpu.terrain import quadtree
 from vrenderer_tpu.utils import math3d
@@ -118,15 +118,14 @@ class App:
             if bool(np.asarray(out.overflow)):
                 # the reference asserts on instance overflow
                 # (TerrainPass.cpp:238); report loudly instead of
-                # rendering holes silently
+                # rendering holes silently. Name the capacity that
+                # actually overflowed with its real numerator — a
+                # "work=0/2048" numerator on a budget overflow reads as
+                # a stats bug and destroys trust in the counter.
                 import warnings
 
                 warnings.warn(
-                    f"frame {i}: raster work list or instance buffer "
-                    f"overflowed (work={int(out.num_work_items)}/"
-                    f"{self.renderer.max_work}, instances="
-                    f"{int(out.num_instances)}); output may be missing "
-                    f"geometry — raise max_work/max_instances"
+                    f"frame {i}: {overflow_message(out, self.renderer)}"
                 )
             if dump_dir is not None:
                 with self.profiler.scope("Present"):

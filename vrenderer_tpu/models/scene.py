@@ -357,11 +357,12 @@ def load_gltf(path: str, texture_subdiv_texels: float = 1.0,
                         subdivide_to_texel_density,
                     )
 
-                    pos, (nrm, vc), uv, tris = subdivide_to_texel_density(
+                    (pos, (nrm, vc), uv, tris,
+                     _achieved) = subdivide_to_texel_density(
                         pos, [nrm, vc], uv, tris, img.shape[:2],
                         target_texels=float(texture_subdiv_texels),
                         max_tris=max_subdiv_tris,
-                    )
+                    )  # warns with achieved texels/edge if capped
                     n = np.linalg.norm(nrm, axis=-1, keepdims=True)
                     nrm = nrm / np.maximum(n, 1e-12)
                 col = np.asarray(factor, np.float32) * _sample_bilinear(

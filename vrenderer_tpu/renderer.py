@@ -84,6 +84,42 @@ class FrameOutput(NamedTuple):
     # may be missing geometry. The reference asserts instead
     # (TerrainPass.cpp:238); here it is surfaced so App/bench fail loudly.
     overflow: jnp.ndarray
+    # () int32 bitmask naming WHICH capacity overflowed (1 = raster work
+    # list > max_work, 2 = render budget: selection > max_active,
+    # 4 = shadow-pass work list/budget) — the work-list fill being 0 while
+    # the render budget overflows is otherwise unreadable from the counts
+    num_selected: jnp.ndarray   # () int32 RAW selection count (uncapped)
+    overflow_mask: jnp.ndarray
+
+
+def overflow_message(out: "FrameOutput", renderer: "Renderer") -> str:
+    """Human-readable description of WHICH capacity overflowed, with the
+    overflowing buffer's own numerator (host-side; call only when
+    ``out.overflow`` is set). The reference's analog is the instance-count
+    assert, TerrainPass.cpp:238."""
+    import numpy as np
+
+    mask = int(np.asarray(out.overflow_mask))
+    parts = []
+    if mask & 1:
+        parts.append(
+            f"raster work list overflowed "
+            f"(work items={int(out.num_work_items)} > "
+            f"max_work={renderer.max_work})"
+        )
+    if mask & 2:
+        parts.append(
+            f"render budget overflowed (selected instances="
+            f"{int(out.num_selected)} > max_active={renderer.max_active})"
+        )
+    if mask & 4:
+        parts.append(
+            "shadow-pass work list or render budget overflowed "
+            "(light-view selection spans the whole world; raise "
+            "max_active/max_work)"
+        )
+    msg = "; ".join(parts) if parts else "overflow flag set (unknown cause)"
+    return msg + " — output may be missing geometry"
 
 
 class Renderer:
@@ -683,6 +719,12 @@ class Renderer:
                 (n_work > self.max_work)
                 | (instances.count > self.max_active)
                 | (shadow_overflow > 0)
+            ),
+            num_selected=instances.count,
+            overflow_mask=(
+                (n_work > self.max_work).astype(jnp.int32)
+                + 2 * (instances.count > self.max_active).astype(jnp.int32)
+                + 4 * (shadow_overflow > 0).astype(jnp.int32)
             ),
         )
         if adapt is not None:
