@@ -39,6 +39,14 @@ BASELINE_FPS = 120.0  # north-star target (BASELINE.json / BASELINE.md)
 #   actual shadow-pass LOD semantics (TerrainPass.cpp:183 selects from
 #   the CSM proxy view's distant origin, collapsing the shadow mesh to
 #   the coarsest rings; see docs/PERFORMANCE.md for the quality cost).
+# --mode mapsnap: map mode (view-matched shadow LOD) with the
+#   QUANTIZED-EYE shadow cache (FrameConfig.shadow_eye_quant): the light
+#   pass's selection eye snaps to a world lattice, making the
+#   view-matched shadow map piecewise-constant in camera position. The
+#   timing chain re-rasters the light view exactly on the flythrough's
+#   real cell crossings (lax.cond carries the cached map between them),
+#   so the number charges misses at their true rate — the steady-state
+#   cost an App loop pays via cached_shadow_prepass.
 # --mode mapcache: mapref + the static-scene shadow-map cache
 #   (FrameConfig.shadow_cache): under shadow_select="light" the
 #   whole-world sheared shadow map is camera-independent, so it rasters
@@ -59,6 +67,10 @@ BASELINE_FPS = 120.0  # north-star target (BASELINE.json / BASELINE.md)
 MODE = "1080p"
 if "--mode" in sys.argv:
     MODE = sys.argv[sys.argv.index("--mode") + 1]
+# mapsnap quant cell size (world units); override: --quant N
+SNAP_QUANT = 256.0
+if "--quant" in sys.argv:
+    SNAP_QUANT = float(sys.argv[sys.argv.index("--quant") + 1])
 if MODE in ("4k", "envelope"):
     WIDTH, HEIGHT = 3840, 2176
 else:
@@ -78,11 +90,13 @@ def build():
         ts = TerrainSettings(max_instances=1024)
     cfg = FrameConfig(
         width=WIDTH, height=HEIGHT, terrain=ts,
-        shadow_mode="map" if MODE in ("map", "mapref", "mapcache")
+        shadow_mode="map" if MODE in ("map", "mapref", "mapcache",
+                                      "mapsnap")
         else "horizon",
         shadow_resolution=2048,
         shadow_select="light" if MODE in ("mapref", "mapcache")
         else "main",
+        shadow_eye_quant=SNAP_QUANT if MODE == "mapsnap" else 0.0,
     )
     hm = hmod.procedural_heightmap(256)
     alb = hmod.procedural_albedo(hm)
@@ -99,7 +113,7 @@ def build():
     # flythrough (CPU-probed), above the 512 budget that fits the main
     # camera; the frame surfaces that as overflow, so the budget rises
     max_active = {"envelope": 1024, "map": 768, "mapref": 768,
-                  "mapcache": 768}.get(MODE, 512)
+                  "mapcache": 768, "mapsnap": 768}.get(MODE, 512)
     max_work = 4096 if HEIGHT > 1200 else 2048
     if MODE == "envelope":
         max_work = 6144
@@ -164,6 +178,49 @@ def chain_fn(renderer, params, cams, n):
     """n flythrough frames inside one jit; returns a scalar that depends
     on every frame so nothing is elided."""
     from vrenderer_tpu.camera import Camera
+
+    if MODE == "mapsnap":
+        # quantized-eye shadow cache: scan over frames carrying the
+        # cached light-view map; re-raster it (lax.cond) exactly on the
+        # flythrough's real eye-cell crossings, so misses are charged at
+        # their true rate. Frame 0's raster runs before the loop (it is
+        # the steady-state cache fill, like mapcache's prepass).
+        import numpy as np
+
+        q = SNAP_QUANT
+        cells = np.floor(np.asarray(cams.eye, np.float32) / np.float32(q))
+        new_cell = np.concatenate(
+            [[False], (np.abs(np.diff(cells, axis=0)).sum(axis=1) > 0)]
+        )
+        n_miss = int(new_cell.sum()) + 1
+        print(f"mapsnap: quant={q}, {n_miss} light rasters / 64 frames",
+              file=sys.stderr)
+        new_cell_dev = jnp.asarray(new_cell)
+
+        def run():
+            def light(eye):
+                out = renderer._light_depth_pass(params, eye)
+                return jax.tree_util.tree_map(jnp.asarray, out)
+
+            def body(carry, i):
+                idx = i % 64
+                eye = cams.eye[idx]
+                prepass = jax.lax.cond(
+                    new_cell_dev[idx], light, lambda e, c=None: carry, eye
+                )
+                cam = Camera(eye=eye, target=cams.target[idx],
+                             up=cams.up[idx])
+                out = renderer._frame_impl(cam, params, None,
+                                           shadow_prepass=prepass)
+                return prepass, out.ldr.mean() + out.depth.mean()
+
+            carry0 = light(cams.eye[0])
+            _, accs = jax.lax.scan(
+                body, carry0, jnp.arange(n, dtype=jnp.int32)
+            )
+            return accs.sum()
+
+        return jax.jit(run)
 
     def run():
         # mapcache: raster the camera-independent shadow map ONCE per
@@ -250,6 +307,7 @@ def main():
         "map": "terrain_flythrough_1080p_shadowmap_fps",
         "mapref": "terrain_flythrough_1080p_shadowmap_reflod_fps",
         "mapcache": "terrain_flythrough_1080p_shadowmap_cached_fps",
+        "mapsnap": "terrain_flythrough_1080p_shadowmap_snapcached_fps",
         "envelope": "terrain_envelope_4k_4096inst_fps",
         "ground": "terrain_ground_camera_1080p_fps",
     }.get(MODE, "terrain_flythrough_1080p_fps")

@@ -28,7 +28,7 @@ def main():
         z, idb, attrs, _ = rp.rasterize_pallas(
             p, work, 1920, 1152, tile=cfg.raster.tile_w,
             sub_h=16, compact_k=32, max_work=2048,
-            win_w=128, rounds_blk=0)
+            win_w=128)
         return z
 
     lowered = jax.jit(call).lower(packed.tri_data)

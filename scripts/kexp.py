@@ -90,17 +90,37 @@ def work_stats(cfg, work, compact_k, sub_h):
 
 
 def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
-                max_work=2048, win_w=128, rounds_blk=0):
+                max_work=2048, win_w=128, depth=""):
     packed, work = build_work(cfg, setup, bbox, usable, dist, compact_k,
                               sub_h, max_work, win_w)
     work_stats(cfg, work, compact_k, sub_h)
 
     def call(splits):
         p = rp.PackedTris(splits, packed.tri_cols, packed.batch_meta)
+        if depth == "depth":
+            return rp.rasterize_pallas_depth(
+                p, work, cfg.width, cfg.height, tile=cfg.raster.tile_w,
+                sub_h=sub_h, compact_k=compact_k, max_work=max_work,
+                win_w=win_w)
+        if depth == "zid":
+            z, _ = rp.rasterize_pallas_zid(
+                p, work, cfg.width, cfg.height, tile=cfg.raster.tile_w,
+                sub_h=sub_h, compact_k=compact_k, max_work=max_work,
+                win_w=win_w)
+            return z[:cfg.height, :cfg.width]
+        if depth == "two":
+            z, idb, attrs, _ = rp.rasterize_pallas_two_phase(
+                p, work, cfg.width, cfg.height, tile=cfg.raster.tile_w,
+                sub_h=sub_h, compact_k=compact_k, max_work=max_work,
+                win_w=win_w)
+            # consume attrs too so the resolve pass is not pruned
+            return z + attrs[..., 0] * 1e-30
         z, idb, attrs, _ = rp.rasterize_pallas(
             p, work, cfg.width, cfg.height, tile=cfg.raster.tile_w,
             sub_h=sub_h, compact_k=compact_k, max_work=max_work,
-            win_w=win_w, rounds_blk=rounds_blk)
+            win_w=win_w)
+        if depth == "fullc":   # full kernel, attrs consumed (fair vs two)
+            return z + attrs[..., 0] * 1e-30
         return z
 
     def chain(n):
@@ -120,7 +140,7 @@ def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
     t12 = min(_t(lambda: float(f12(sp))) for _ in range(3))
     ms = (t12 - t4) / 8 * 1000
     print(f"  kernel K={compact_k:3d} sub_h={sub_h} win={win_w} "
-          f"blk={rounds_blk}: {ms:8.2f} ms/frame")
+          f"depth={depth}: {ms:8.2f} ms/frame")
     return ms
 
 
@@ -136,8 +156,8 @@ if __name__ == "__main__":
     ks = []
     sub_h = 8
     win_w = 128
-    rounds_blk = 0
     do_stats = False
+    depth = ""
     for a in args:
         if a.startswith("cam="):
             cam_idx = int(a[4:])
@@ -147,10 +167,10 @@ if __name__ == "__main__":
             sub_h = int(a[4:])
         elif a.startswith("win="):
             win_w = int(a[4:])
-        elif a.startswith("blk="):
-            rounds_blk = int(a[4:])
         elif a == "stats":
             do_stats = True
+        elif a in ("depth", "zid", "two", "fullc"):
+            depth = a
     cfg, setup, bbox, usable, dist = build_setup(cam_idx)
     print(f"camera {cam_idx}")
     if do_stats and not ks:
@@ -159,4 +179,4 @@ if __name__ == "__main__":
             work_stats(cfg, work, k, sub_h)
     for k in ks:
         time_config(cfg, setup, bbox, usable, dist, k, sub_h, win_w=win_w,
-                    rounds_blk=rounds_blk)
+                    depth=depth)

@@ -45,7 +45,7 @@ def _scene(eye, target, seed=0):
     return inst, vout, setup, vc
 
 
-def _run_both(eye, target, win_w=128, rounds_blk=0):
+def _run_both(eye, target, win_w=128, two_phase=False):
     inst, vout, setup, vc = _scene(eye, target)
     T = SET.tris_per_instance
     I = SET.max_instances
@@ -60,9 +60,11 @@ def _run_both(eye, target, win_w=128, rounds_blk=0):
         bbox, usable, W, H, tile=128, tris_per_inst=T, max_work=256,
         order_key=dist, packed=packed, compact_k=16, win_w=win_w,
     )
-    z_p, id_p, at_p, _ = raster_pallas.rasterize_pallas(
+    fn = (raster_pallas.rasterize_pallas_two_phase if two_phase
+          else raster_pallas.rasterize_pallas)
+    z_p, id_p, at_p, _ = fn(
         packed, work, W, H, tile=128, sub_h=8, compact_k=16,
-        max_work=256, interpret=True, win_w=win_w, rounds_blk=rounds_blk,
+        max_work=256, interpret=True, win_w=win_w,
     )
     return (z_x, id_x, at_x), (z_p, id_p, at_p), inst
 
@@ -118,14 +120,16 @@ def test_pallas_windowed_compaction_matches_oracle():
     )
 
 
-def test_batched_compaction_bitwise_identical():
-    """v12 batched compaction (rounds_blk=4: one 64-row one-hot dot per
-    4 round slots at compact_k=16) must be BIT-identical to the per-round
-    path: same one-hot partial sums in the same association, rounds
-    visited in the same cell-major order."""
+def test_two_phase_bitwise_identical_frontal():
+    """Two-phase raster (z/id phase + winner-filtered deferred attribute
+    resolve) must be BIT-identical to the single-phase kernel on every
+    output: phase 1's merge reproduces the exact winner semantics and
+    phase 2's one-hot accumulate reproduces the exact coefficient swap
+    (each pixel's winner contributes once; all other rounds add exact
+    zeros)."""
     _, (z_0, id_0, at_0), _ = _run_both([0.0, 20.0, 40.0], [0.0, 0.0, 0.0])
     (z_x, id_x, at_x), (z_b, id_b, at_b), _ = _run_both(
-        [0.0, 20.0, 40.0], [0.0, 0.0, 0.0], rounds_blk=4
+        [0.0, 20.0, 40.0], [0.0, 0.0, 0.0], two_phase=True
     )
     np.testing.assert_array_equal(np.asarray(id_b), np.asarray(id_0))
     np.testing.assert_array_equal(np.asarray(z_b), np.asarray(z_0))
@@ -134,11 +138,27 @@ def test_batched_compaction_bitwise_identical():
     np.testing.assert_array_equal(np.asarray(id_b), np.asarray(id_x))
 
 
-def test_batched_compaction_depth_only():
-    inst, vout, setup, vc = _scene([10.0, 25.0, 35.0], [0.0, 0.0, -5.0])
+def test_two_phase_bitwise_identical_oblique():
+    """Oblique view: overdraw + crossing instances exercise the winner
+    filter (multiple instances per cell, [min, max]-range conservatism)."""
+    _, (z_0, id_0, at_0), _ = _run_both([25.0, 8.0, 25.0],
+                                        [-10.0, 2.0, -10.0])
+    _, (z_b, id_b, at_b), _ = _run_both(
+        [25.0, 8.0, 25.0], [-10.0, 2.0, -10.0], two_phase=True
+    )
+    np.testing.assert_array_equal(np.asarray(id_b), np.asarray(id_0))
+    np.testing.assert_array_equal(np.asarray(z_b), np.asarray(z_0))
+    np.testing.assert_array_equal(np.asarray(at_b), np.asarray(at_0))
+
+
+def test_winner_filter_drops_only_nonwinning_cells():
+    """filter_work_to_winners must keep every (item, cell) whose instance
+    won pixels (exactness) while dropping a real fraction of the work
+    (the point of the design)."""
+    inst, vout, setup, vc = _scene([25.0, 8.0, 25.0], [-10.0, 2.0, -10.0])
     T = SET.tris_per_instance
-    packed = raster_pallas.pack_tri_data(setup, SET.max_instances, T,
-                                         tri_batch=64)
+    I = SET.max_instances
+    packed = raster_pallas.pack_tri_data(setup, I, T, tri_batch=64)
     bbox, usable, dist = raster_pallas.instance_screen_bbox(
         vout.world, vc["world_to_clip"], W, H, inst.valid
     )
@@ -146,16 +166,33 @@ def test_batched_compaction_depth_only():
         bbox, usable, W, H, tile=128, tris_per_inst=T, max_work=256,
         order_key=dist, packed=packed, compact_k=16,
     )
-    z0 = raster_pallas.rasterize_pallas_depth(
+    _, id_pad = raster_pallas.rasterize_pallas_zid(
         packed, work, W, H, tile=128, sub_h=8, compact_k=16,
         max_work=256, interpret=True,
     )
-    zb = raster_pallas.rasterize_pallas_depth(
-        packed, work, W, H, tile=128, sub_h=8, compact_k=16,
-        max_work=256, interpret=True, rounds_blk=4,
+    work2 = raster_pallas.filter_work_to_winners(
+        work, id_pad, T, W, H, tile=128, sub_h=8,
     )
-    assert (np.asarray(z0) < 1e30).sum() > 1000
-    np.testing.assert_array_equal(np.asarray(zb), np.asarray(z0))
+    r1 = np.asarray(work.sub_rounds)
+    r2 = np.asarray(work2.sub_rounds)
+    # never invent work; only zero out cells
+    assert ((r2 == r1) | (r2 == 0)).all()
+    assert r2.sum() < r1.sum(), "filter must drop some work"
+    # exactness: every (item, cell) whose instance won a pixel survives
+    meta = np.asarray(work.meta)
+    ids = np.asarray(id_pad)
+    insts = np.where(ids == raster_pallas._BIG_ID, -1, ids // T)
+    n_sub = 128 // 8
+    for w in range(r1.shape[1]):
+        if meta[5, w] != 1:
+            continue
+        ty, tx_, iw = meta[6, w], meta[7, w], meta[1, w]
+        tile_inst = insts[ty * 128:(ty + 1) * 128,
+                          tx_ * 128:(tx_ + 1) * 128]
+        for c in range(n_sub):
+            cell = tile_inst[c * 8:(c + 1) * 8, :]
+            if (cell == iw).any():
+                assert r2[c, w] == r1[c, w], (w, c)
 
 
 def test_depth_only_kernel_matches_full_z():

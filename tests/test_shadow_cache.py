@@ -92,6 +92,69 @@ def test_prepass_rejects_camera_dependent_selection():
         r.shadow_prepass(FrameParams.default())
 
 
+def test_quantized_eye_cache_bit_identical_and_invalidates():
+    """shadow_select="main" + shadow_eye_quant: the view-matched shadow
+    map becomes piecewise-constant in camera position (the selection eye
+    snaps to the quant lattice), so cached frames must be bit-identical
+    to inline frames for ANY camera in the same cell, and the cache must
+    re-key exactly on cell crossings (VERDICT r4 next #4)."""
+    import dataclasses
+
+    hm = hmod.procedural_heightmap(64, seed=3)
+    alb = hmod.procedural_albedo(hm)
+    cfg = dataclasses.replace(CFG, shadow_select="main",
+                              shadow_eye_quant=16.0)
+    r = Renderer(cfg, hm, alb, raster_backend="xla")
+    params = FrameParams.default()._replace(max_height=jnp.float32(12.0))
+
+    cam_a = _cam(0)
+    # same 16-unit cell as cam_a (eye moved < 1 cell, no floor crossing)
+    cam_b = Camera(eye=cam_a.eye + jnp.asarray([2.0, 1.0, -3.0]),
+                   target=cam_a.target, up=cam_a.up)
+    p_a = r.cached_shadow_prepass(params, camera_pos=cam_a.eye)
+    p_b = r.cached_shadow_prepass(params, camera_pos=cam_b.eye)
+    assert p_a[0] is p_b[0], "same quant cell must be a cache hit"
+
+    for cam in (cam_a, cam_b):
+        inline = r.render(cam, params)                 # in-frame raster
+        cached = r.render(cam, params, shadow_prepass=p_a)
+        np.testing.assert_array_equal(np.asarray(inline.ldr),
+                                      np.asarray(cached.ldr))
+        np.testing.assert_array_equal(np.asarray(inline.depth),
+                                      np.asarray(cached.depth))
+        np.testing.assert_array_equal(np.asarray(inline.prim_id),
+                                      np.asarray(cached.prim_id))
+
+    # crossing a cell boundary re-rasters, and the new map matches a
+    # fresh standalone prepass at the new eye
+    cam_c = Camera(eye=cam_a.eye + jnp.asarray([20.0, 0.0, 0.0]),
+                   target=cam_a.target, up=cam_a.up)
+    p_c = r.cached_shadow_prepass(params, camera_pos=cam_c.eye)
+    assert p_c[0] is not p_a[0], "cell crossing must re-key the cache"
+    np.testing.assert_array_equal(
+        np.asarray(p_c[0]),
+        np.asarray(r.shadow_prepass(params, camera_pos=cam_c.eye)[0]),
+    )
+
+
+def test_quantized_eye_selection_piecewise_constant():
+    """The light-pass depth map is constant within a quant cell and
+    equals the map rendered from the snapped cell-center eye."""
+    import dataclasses
+
+    hm = hmod.procedural_heightmap(64, seed=3)
+    alb = hmod.procedural_albedo(hm)
+    cfg = dataclasses.replace(CFG, shadow_select="main",
+                              shadow_eye_quant=16.0)
+    r = Renderer(cfg, hm, alb, raster_backend="xla")
+    params = FrameParams.default()._replace(max_height=jnp.float32(12.0))
+    eye1 = jnp.asarray([3.0, 26.0, 42.0], jnp.float32)
+    eye2 = jnp.asarray([12.0, 18.0, 34.0], jnp.float32)  # same cells
+    z1 = r.shadow_prepass(params, camera_pos=eye1)[0]
+    z2 = r.shadow_prepass(params, camera_pos=eye2)[0]
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+
+
 def test_adaptive_cached_matches_inline():
     r = _renderer()
     params = FrameParams.default()._replace(max_height=jnp.float32(12.0))

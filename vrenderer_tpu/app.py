@@ -139,8 +139,16 @@ class App:
         cfg = self.config
         use_shadow_cache = (
             cfg.shadow_mode == "map"
-            and cfg.shadow_select == "light"
             and cfg.shadow_cache
+            and (
+                cfg.shadow_select == "light"
+                # quantized-eye cache: the view-matched map is piecewise-
+                # constant in camera position (config.shadow_eye_quant);
+                # cached_shadow_prepass re-keys on the eye cell, so it
+                # re-rasters exactly on cell crossings
+                or (cfg.shadow_select == "main"
+                    and cfg.shadow_eye_quant > 0.0)
+            )
         )
         for i in range(num_frames):
             self.profiler.begin_frame()
@@ -151,7 +159,7 @@ class App:
             if use_shadow_cache:
                 with self.profiler.scope("ShadowMap"):
                     prepass = self.renderer.cached_shadow_prepass(
-                        self.params
+                        self.params, camera_pos=cam.eye
                     )
             with self.profiler.scope("Render"):
                 if adapt:

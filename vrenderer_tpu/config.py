@@ -116,14 +116,14 @@ class RasterSettings:
     # the triangles' ~16-px footprint but cannot be stitched -- see
     # docs/PERFORMANCE.md).
     win_w: int = 128
-    # Batched compaction (kernel v12): > 0 batches this many compaction
-    # round-slots into ONE one-hot MXU dot of (blk * compact_k) rows per
-    # work item (4 x 32 = 128 rows = a full MXU tile), instead of one
-    # 32-row dot per round — 4x the systolic-array row occupancy and
-    # ~4x fewer MXU issues on the dominant per-round term. 0 = the
-    # per-round dots. Output is bit-identical either way (same one-hot
-    # sums in the same association, rounds visited in the same order).
-    compact_rounds_blk: int = 0
+    # Two-phase rasterization: phase 1 rasters z + winner id at
+    # depth-kernel cost (no swap dots, no coefficient accumulator);
+    # phase 2 resolves attribute planes ONLY for (item, cell) pairs
+    # whose instance won pixels (the TPU analog of fragment shading
+    # behind GPU early-z, TerrainPass.cpp:222). Bit-identical output to
+    # the single-phase kernel (tests/test_raster_pallas.py). Ignored
+    # under wireframe (the wire cover rule needs the fused kernel).
+    two_phase: bool = False
     # Interpolated vertex-attribute channels (albedo3, normal3, shadow,
     # height).
     attr_channels: int = 8
@@ -178,6 +178,21 @@ class FrameConfig:
     # (selection AND morph use the biased ranges, so the shadow mesh is
     # still a crack-free CDLOD surface).
     shadow_lod_bias: int = 0
+    # Quantize the shadow_select="main" light-pass selection eye to this
+    # world-unit grid (0 = off, exact view-matched selection per frame).
+    # CDLOD selection is continuous in the eye; snapping the eye to a
+    # lattice makes the whole light pass (selection, morph, raster) a
+    # PIECEWISE-CONSTANT function of camera position, so the
+    # view-matched shadow map becomes cacheable with EXACT invalidation
+    # on cell crossings (Renderer.cached_shadow_prepass keys on the
+    # cell). Within a cell, cached frames are bit-identical to inline
+    # frames (tests/test_shadow_cache.py). Quality cost vs the
+    # unquantized default is an eye shift of at most half a cell: the
+    # LOD ring BOUNDARIES move by <= quant/2 but every ring keeps its
+    # resolution (far gentler than shadow_lod_bias, which halves every
+    # ring). The main render always morphs from the TRUE eye — only the
+    # shadow-map pass sees the snapped eye.
+    shadow_eye_quant: float = 0.0
     # Static-scene shadow-map cache: when shadow_select="light", the
     # whole-world sheared shadow map depends only on (sun, max_height,
     # scene transforms, heightmap) — not the camera — so drive loops
@@ -186,7 +201,9 @@ class FrameConfig:
     # cached frame is bit-identical to the per-frame-raster frame
     # (tests/test_shadow_cache.py). The reference has no analog — its
     # CSM view is camera-fit per frame (Renderer.cpp:345-348), ours is
-    # not. Ignored under shadow_select="main" (camera-dependent).
+    # not. Under shadow_select="main" the cache applies only with
+    # shadow_eye_quant > 0 (keyed on the quantized eye cell; invalidated
+    # exactly on cell crossings).
     shadow_cache: bool = True
 
     @property

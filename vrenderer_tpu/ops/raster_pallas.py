@@ -593,7 +593,7 @@ def _raster_kernel(
     cols_ref,     # (1, 8, T) f32 — bbox/valid columns, lane-major
     *refs,        # full: z/id/attr outs + z/id/coef/ranks scratch;
                   # depth_only: z out + z/ranks scratch
-                  # (+ a (rounds_blk*K, CH) blk scratch when batched)
+                  # depth_only+with_id: z/id outs + z/id/ranks scratch
     tile: int,
     sub_h: int,
     compact_k: int,
@@ -602,22 +602,18 @@ def _raster_kernel(
     wire_px: float,
     win_w: int,
     depth_only: bool = False,
-    rounds_blk: int = 0,
+    with_id: bool = False,
 ):
     if depth_only:
-        if rounds_blk:
-            z_ref, z_scr, ranks, blk_scr, oh_scr = refs
+        if with_id:
+            z_ref, id_ref, z_scr, id_scr, ranks = refs
+            attr_ref = coef_acc = None
         else:
-            (z_ref, z_scr, ranks), blk_scr, oh_scr = refs, None, None
-        id_ref = attr_ref = id_scr = coef_acc = None
+            z_ref, z_scr, ranks = refs
+            id_ref = attr_ref = id_scr = coef_acc = None
     else:
-        if rounds_blk:
-            (z_ref, id_ref, attr_ref, z_scr, id_scr, coef_acc, ranks,
-             blk_scr, oh_scr) = refs
-        else:
-            (z_ref, id_ref, attr_ref, z_scr, id_scr, coef_acc,
-             ranks) = refs
-            blk_scr = oh_scr = None
+        (z_ref, id_ref, attr_ref, z_scr, id_scr, coef_acc,
+         ranks) = refs
     w = pl.program_id(0)
     first = meta_ref[2, w]
     last = meta_ref[3, w]
@@ -639,8 +635,9 @@ def _raster_kernel(
     @pl.when(first == 1)
     def _init_tile():
         z_scr[:] = jnp.full((n_cell, P), worst, jnp.float32)
-        if not depth_only:
+        if id_scr is not None:
             id_scr[:] = jnp.full((n_cell, P), _BIG_ID, jnp.int32)
+        if coef_acc is not None:
             coef_acc[:] = jnp.zeros_like(coef_acc)
 
     kiota = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
@@ -767,7 +764,7 @@ def _raster_kernel(
             else:
                 z_best = jnp.min(zv, axis=0, keepdims=True)
 
-            if depth_only:
+            if depth_only and not with_id:
                 # depth test only: no winner identity, no attribute
                 # swap — just the running min/max merge (identical z
                 # to the full kernel: ties write the same value)
@@ -776,6 +773,42 @@ def _raster_kernel(
                     z_scr[pl.ds(c, 1), :] = jnp.maximum(z_best, zs)
                 else:
                     z_scr[pl.ds(c, 1), :] = jnp.minimum(z_best, zs)
+                return 0
+
+            if depth_only:
+                # z + winner id (two-phase raster phase 1): the winner's
+                # global id merges with the full kernel's EXACT
+                # semantics (ties break to the lowest id), but the 30-row
+                # coefficient swap is replaced by a single 2-row id dot
+                # (both id channels are bf16-exact: id_hi is a multiple
+                # of 256 <= 2047, id_lo < 256 — one bf16 MXU pass is
+                # exact, no 3-term split needed).
+                idx = jnp.min(
+                    jnp.where(zv == z_best, kiota, K), axis=0,
+                    keepdims=True,
+                )  # (1, P)
+                covered = idx < K
+                ohw = (kiota == idx).astype(jnp.bfloat16)  # (K, P)
+                wdims = (((0,), (0,)), ((), ()))
+                r_id = r_valid + 1
+                s_ids = blk[:, r_id:r_id + 2].astype(jnp.bfloat16)
+                idv = jax.lax.dot_general(
+                    s_ids, ohw, wdims,
+                    preferred_element_type=jnp.float32,
+                )                                           # (2, P)
+                tid = (idv[0:1, :] + idv[1:2, :]).astype(jnp.int32)
+                gid = jnp.where(covered, base_id + tid, _BIG_ID)
+                zs = z_scr[pl.ds(c, 1), :]
+                ids = id_scr[pl.ds(c, 1), :]
+                if reverse_z:
+                    better = z_best > zs
+                else:
+                    better = z_best < zs
+                upd = covered & (
+                    better | ((z_best == zs) & (gid < ids))
+                )
+                z_scr[pl.ds(c, 1), :] = jnp.where(upd, z_best, zs)
+                id_scr[pl.ds(c, 1), :] = jnp.where(upd, gid, ids)
                 return 0
 
             idx = jnp.min(
@@ -830,141 +863,63 @@ def _raster_kernel(
             z_scr[pl.ds(c, 1), :] = jnp.where(upd, z_best, zs)
             id_scr[pl.ds(c, 1), :] = jnp.where(upd, gid, ids)
             return 0
-        if rounds_blk == 0:
-            # v11 path: one one-hot compaction dot per round
-            kiota_f = jax.lax.broadcasted_iota(
-                jnp.int32, (K, T), 0
-            ).astype(jnp.float32)                         # loop-invariant
+        # one one-hot compaction dot per round (kernel v11). A batched
+        # variant (v12: chunks of 4 rounds sharing one 128-row dot at
+        # full MXU row occupancy) measured WORSE in every configuration
+        # and was removed from the production kernel —
+        # docs/PERFORMANCE.md "Round 4: v12" keeps the experiment record.
+        kiota_f = jax.lax.broadcasted_iota(
+            jnp.int32, (K, T), 0
+        ).astype(jnp.float32)                             # loop-invariant
 
-            def cell_body(c, _):
-                n_rounds = subr_ref[c, w]
-                # Early-z stays ITEM-level only: a per-cell variant (the
-                # same strict fixed-point skip against each cell's own
-                # depth edge, one (1, P) reduce per (item, cell)) measured
-                # 41.5 vs 43.9 FPS on the 1080p flythrough — the
-                # always-paid reduce costs more than the skips save at
-                # this workload's overdraw.
-                run_cell = n_rounds > 0
+        def cell_body(c, _):
+            n_rounds = subr_ref[c, w]
+            # Early-z stays ITEM-level only: a per-cell variant (the
+            # same strict fixed-point skip against each cell's own
+            # depth edge, one (1, P) reduce per (item, cell)) measured
+            # 41.5 vs 43.9 FPS on the 1080p flythrough — the
+            # always-paid reduce costs more than the skips save at
+            # this workload's overdraw.
+            run_cell = n_rounds > 0
 
-                def round_body(r, _):
-                    # shift the RANK (one (1, T) subtract, exact: both
-                    # sides are integers < 2^24 in f32) instead of the
-                    # (K, T) slot iota — saves a full (K, T) VPU add per
-                    # round against the hoisted kiota_f. Bit-identical:
-                    # rank - r*K == kiota  <=>  rank == kiota + r*K.
-                    rank_s = (ranks[pl.ds(c, 1), :]
-                              - (r * K).astype(jnp.float32))  # (1, T)
-                    oh = (rank_s == kiota_f).astype(jnp.bfloat16)  # (K, T)
-                    # NT contraction (both operands contract on lanes):
-                    # the component-major (48, T) layout needs no
-                    # transpose. Compaction partials per split term: each
-                    # dot is a single exact bf16 MXU pass (the one-hot is
-                    # 0/1), so each partial equals the compacted bf16
-                    # term exactly; ascending-term sum (lo, mid, hi).
-                    ntdims = (((1,), (1,)), ((), ()))
-                    p_lo = jax.lax.dot_general(
-                        oh, d_lo, ntdims,
-                        preferred_element_type=jnp.float32,
-                    )
-                    p_mid = jax.lax.dot_general(
-                        oh, d_mid, ntdims,
-                        preferred_element_type=jnp.float32,
-                    )
-                    p_hi = jax.lax.dot_general(
-                        oh, d_hi, ntdims,
-                        preferred_element_type=jnp.float32,
-                    )
-                    do_round(c, (p_lo + p_mid) + p_hi)
-                    return 0
-
-                @pl.when(run_cell)
-                def _run_rounds():
-                    jax.lax.fori_loop(0, n_rounds, round_body, 0)
-
-                return 0
-
-            jax.lax.fori_loop(0, n_cell, cell_body, 0)
-        else:
-            # v12 path: batched compaction. All (cell, round) slots of
-            # the item are enumerated cell-major; chunks of rounds_blk
-            # slots share ONE set of 3 one-hot dots of (rounds_blk * K)
-            # rows — 4x32=128 rows fill the MXU's rows where the
-            # per-round 32-row dots left 3/4 idle. Bit-identical to the
-            # per-round path: same one-hot partial sums in the same
-            # association, rounds visited in the same order.
-            #
-            # The slot -> (cell, round-in-cell) mapping is walked with
-            # the SAME SMEM while-loop the consume loop uses, writing
-            # each slot's (K, T) one-hot block into oh_scr at a STATIC
-            # sublane offset (the build loop unrolls over the RB slots).
-            # An earlier formulation derived the mapping with MXU
-            # selection dots over an (RO, n_cell) tensor; Mosaic cannot
-            # lower its narrow-minor-dim bf16 operands (a
-            # vector<128x8xbf16> -> f32 cast mis-emits as a same-type
-            # vector.broadcast on v5e) and the dots cost more than this
-            # scalar walk anyway.
-            RB = rounds_blk
-            ntdims = (((1,), (1,)), ((), ()))
-
-            R_total = jnp.int32(0)
-            for cc in range(n_cell):
-                R_total = R_total + subr_ref[cc, w]
-            n_chunks = (R_total + (RB - 1)) // RB
-
-            kiota_t = jax.lax.broadcasted_iota(jnp.int32, (K, T), 0)
-
-            def advance(s):
-                # skip to the next cell with rounds remaining; lands at
-                # n_cell when the item's slots are exhausted (dead
-                # trailing slots of the final chunk)
-                return jax.lax.while_loop(
-                    lambda t: (t[0] < n_cell)
-                    & (t[1] >= subr_ref[jnp.minimum(t[0], n_cell - 1), w]),
-                    lambda t: (t[0] + 1, jnp.int32(0)),
-                    s,
-                )
-
-            def chunk_body(ch, carry):
-                # pass 1: build the (RO, T) one-hot, one K-row block per
-                # slot (rank compare against this slot's K-window — the
-                # identical compare the per-round path feeds its dot)
-                c, ric = carry
-                for r in range(RB):
-                    c, ric = advance((c, ric))
-                    live = (c < n_cell).astype(jnp.float32)
-                    cr = jnp.minimum(c, n_cell - 1)
-                    rank_s = ranks[pl.ds(cr, 1), :]          # (1, T)
-                    slot = (kiota_t + ric * K).astype(jnp.float32)
-                    ohr = (rank_s == slot).astype(jnp.float32) * live
-                    oh_scr[pl.ds(r * K, K), :] = ohr.astype(jnp.bfloat16)
-                    ric = ric + 1
-                ohb = oh_scr[:]                              # (RO, T)
+            def round_body(r, _):
+                # shift the RANK (one (1, T) subtract, exact: both
+                # sides are integers < 2^24 in f32) instead of the
+                # (K, T) slot iota — saves a full (K, T) VPU add per
+                # round against the hoisted kiota_f. Bit-identical:
+                # rank - r*K == kiota  <=>  rank == kiota + r*K.
+                rank_s = (ranks[pl.ds(c, 1), :]
+                          - (r * K).astype(jnp.float32))  # (1, T)
+                oh = (rank_s == kiota_f).astype(jnp.bfloat16)  # (K, T)
+                # NT contraction (both operands contract on lanes):
+                # the component-major (48, T) layout needs no
+                # transpose. Compaction partials per split term: each
+                # dot is a single exact bf16 MXU pass (the one-hot is
+                # 0/1), so each partial equals the compacted bf16
+                # term exactly; ascending-term sum (lo, mid, hi).
+                ntdims = (((1,), (1,)), ((), ()))
                 p_lo = jax.lax.dot_general(
-                    ohb, d_lo, ntdims, preferred_element_type=jnp.float32,
+                    oh, d_lo, ntdims,
+                    preferred_element_type=jnp.float32,
                 )
                 p_mid = jax.lax.dot_general(
-                    ohb, d_mid, ntdims, preferred_element_type=jnp.float32,
+                    oh, d_mid, ntdims,
+                    preferred_element_type=jnp.float32,
                 )
                 p_hi = jax.lax.dot_general(
-                    ohb, d_hi, ntdims, preferred_element_type=jnp.float32,
+                    oh, d_hi, ntdims,
+                    preferred_element_type=jnp.float32,
                 )
-                blk_scr[:] = (p_lo + p_mid) + p_hi           # (RO, CH)
+                do_round(c, (p_lo + p_mid) + p_hi)
+                return 0
 
-                # pass 2: consume the live rounds in enumeration order
-                # (re-walks the same cheap SMEM advance from the saved
-                # chunk-start position)
-                live_n = jnp.minimum(RB, R_total - ch * RB)
+            @pl.when(run_cell)
+            def _run_rounds():
+                jax.lax.fori_loop(0, n_rounds, round_body, 0)
 
-                def round_body(r, carry2):
-                    c2, ric2 = advance(carry2)
-                    do_round(c2, blk_scr[pl.ds(r * K, K), :])
-                    return (c2, ric2 + 1)
+            return 0
 
-                return jax.lax.fori_loop(0, live_n, round_body, carry)
-
-            jax.lax.fori_loop(
-                0, n_chunks, chunk_body, (jnp.int32(0), jnp.int32(0))
-            )
+        jax.lax.fori_loop(0, n_cell, cell_body, 0)
 
     @pl.when(last == 1)
     def _finalize():
@@ -987,7 +942,7 @@ def _raster_kernel(
             z_ref[:] = z_scr[:].reshape(tile, tile)
         else:
             z_ref[:] = stitch(z_scr[:])
-        if depth_only:
+        if depth_only and not with_id:
             return
         idf_all = pltpu.bitcast(id_scr[:], jnp.float32)  # (n_cell, P)
         if n_win == 1:
@@ -996,6 +951,8 @@ def _raster_kernel(
             )
         else:
             id_ref[:] = pltpu.bitcast(stitch(idf_all), jnp.int32)
+        if depth_only:
+            return
         dxl = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
         for s in range(n_sub):
             sy0 = y0f + s * sub_h
@@ -1031,7 +988,7 @@ def _raster_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
-        "max_work", "interpret", "wire_px", "win_w", "rounds_blk",
+        "max_work", "interpret", "wire_px", "win_w",
     ),
 )
 def rasterize_pallas(
@@ -1047,7 +1004,6 @@ def rasterize_pallas(
     interpret: bool = False,
     wire_px: float = 0.0,
     win_w: int = 128,
-    rounds_blk: int = 0,
 ):
     """Returns (z (H, W), id (H, W) i32 [-1 = background], attrs (H, W, 8),
     None). H/W are padded to tile multiples then cropped. Attributes are
@@ -1101,9 +1057,7 @@ def rasterize_pallas(
             pltpu.VMEM((n_cell, P), jnp.int32),
             pltpu.VMEM((n_cell, 32, P), jnp.float32),
             pltpu.VMEM((n_cell, T), jnp.float32),
-        ] + ([pltpu.VMEM((rounds_blk * compact_k, _R_TOTAL), jnp.float32),
-              pltpu.VMEM((rounds_blk * compact_k, T), jnp.bfloat16)]
-             if rounds_blk else []),
+        ],
     )
 
     kernel = functools.partial(
@@ -1115,7 +1069,6 @@ def rasterize_pallas(
         reverse_z=reverse_z,
         wire_px=wire_px,
         win_w=win_w,
-        rounds_blk=rounds_blk,
     )
     z, idb, attr = pl.pallas_call(
         kernel,
@@ -1145,7 +1098,7 @@ def rasterize_pallas(
     jax.jit,
     static_argnames=(
         "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
-        "max_work", "interpret", "win_w", "rounds_blk",
+        "max_work", "interpret", "win_w",
     ),
 )
 def rasterize_pallas_depth(
@@ -1160,7 +1113,6 @@ def rasterize_pallas_depth(
     max_work: int = 2048,
     interpret: bool = False,
     win_w: int = 128,
-    rounds_blk: int = 0,
 ):
     """Depth-only variant of rasterize_pallas for light-view shadow
     rasters (the reference's depth-only TerrainPass run,
@@ -1201,9 +1153,7 @@ def rasterize_pallas_depth(
         scratch_shapes=[
             pltpu.VMEM((n_cell, P), jnp.float32),
             pltpu.VMEM((n_cell, T), jnp.float32),
-        ] + ([pltpu.VMEM((rounds_blk * compact_k, 19), jnp.float32),
-              pltpu.VMEM((rounds_blk * compact_k, T), jnp.bfloat16)]
-             if rounds_blk else []),
+        ],
     )
 
     kernel = functools.partial(
@@ -1216,7 +1166,6 @@ def rasterize_pallas_depth(
         wire_px=0.0,
         win_w=win_w,
         depth_only=True,
-        rounds_blk=rounds_blk,
     )
     z = pl.pallas_call(
         kernel,
@@ -1227,3 +1176,482 @@ def rasterize_pallas_depth(
         interpret=interpret,
     )(work.meta, work.sub_rounds, tri_data, packed.tri_cols)[0]
     return z[:height, :width]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
+        "max_work", "interpret", "win_w",
+    ),
+)
+def rasterize_pallas_zid(
+    packed: PackedTris,
+    work: WorkList,
+    width: int,
+    height: int,
+    tile: int = 128,
+    sub_h: int = 8,
+    compact_k: int = 32,
+    reverse_z: bool = False,
+    max_work: int = 2048,
+    interpret: bool = False,
+    win_w: int = 128,
+):
+    """Two-phase raster PHASE 1: z + winner-id raster (no attribute
+    machinery). Like rasterize_pallas_depth but resolving the depth
+    winner's GLOBAL triangle id with the full kernel's exact merge
+    semantics (ties to the lowest id): the 30-row coefficient swap is
+    replaced by a single bf16-exact 2-row id dot per round, and the
+    coefficient accumulator (27 x P read-modify-write per round — the
+    full kernel's largest per-round VMEM stream) disappears. z and id
+    are bit-identical to rasterize_pallas's. Returns (z (pad_h, pad_w),
+    id (pad_h, pad_w) i32 with _BIG_ID background) UNCROPPED — phase 2
+    (rasterize_pallas_resolve) consumes the padded id image directly."""
+    tri_data = packed.tri_data
+    I, C, T = tri_data.shape
+    assert C == _R_TOTAL
+    n_cell = (tile // sub_h) * (tile // win_w)
+    assert work.sub_rounds.shape[0] == n_cell
+    smem_bytes = (9 + n_cell) * max_work * 4
+    assert smem_bytes < 900_000
+    pad_w = -(-width // tile) * tile
+    pad_h = -(-height // tile) * tile
+    P = sub_h * win_w
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(max_work,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, _R_TOTAL, T),
+                lambda w, meta, sr: (meta[1, w], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, _C_ROWS, T), lambda w, meta, sr: (meta[1, w], 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
+            ),
+            pl.BlockSpec(
+                (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_cell, P), jnp.float32),
+            pltpu.VMEM((n_cell, P), jnp.int32),
+            pltpu.VMEM((n_cell, T), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _raster_kernel,
+        tile=tile,
+        sub_h=sub_h,
+        compact_k=compact_k,
+        tris_per_inst=T,
+        reverse_z=reverse_z,
+        wire_px=0.0,
+        win_w=win_w,
+        depth_only=True,
+        with_id=True,
+    )
+    z, idb = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(work.meta, work.sub_rounds, tri_data, packed.tri_cols)
+    return z, idb
+
+
+def filter_work_to_winners(
+    work: WorkList,
+    id_pad: jnp.ndarray,       # (pad_h, pad_w) i32 phase-1 winner ids
+    tris_per_inst: int,
+    width: int, height: int,
+    tile: int = 128,
+    sub_h: int = 16,
+    win_w: int = 128,
+) -> WorkList:
+    """Two-phase raster: shrink the work list to (item, cell) pairs whose
+    INSTANCE actually won a pixel of the cell in phase 1.
+
+    Per cell, the set of winning instances is summarized by its [min,
+    max] instance-id range (gather-free: a blocked reshape + min/max
+    reduce over the cell's pixels) — a CONSERVATIVE EXACT filter: every
+    winning instance lies inside its cell's range, so no resolve work is
+    ever dropped; instances inside the range that didn't win just resolve
+    to all-zero one-hots (cells are usually covered by 1-2 instances, so
+    the range is tight). Round counts for surviving pairs are UNCHANGED
+    (the filter is per-(item, cell), never per-triangle), so phase 2's
+    ranks/one-hot machinery is identical to phase 1's.
+
+    Mirrors the reference's fragment-shading-after-depth-test economics:
+    the GPU's early-z hardware skips occluded fragment work
+    (TerrainPass.cpp:222); here the ENTIRE attribute pipeline runs only
+    where a triangle survived the depth test."""
+    T = tris_per_inst
+    tiles_x = -(-width // tile)
+    n_sub = tile // sub_h
+    n_win = tile // win_w
+    SR = id_pad.shape[0] // sub_h
+    XW = id_pad.shape[1] // win_w
+
+    bg = id_pad == _BIG_ID
+    inst = id_pad // T
+    blk = inst.reshape(SR, sub_h, XW, win_w)
+    bgb = bg.reshape(SR, sub_h, XW, win_w)
+    mn = jnp.min(jnp.where(bgb, jnp.int32(2**30), blk), axis=(1, 3))
+    mx = jnp.max(jnp.where(bgb, jnp.int32(-1), blk), axis=(1, 3))
+
+    meta = work.meta
+    W = meta.shape[1]
+    w_st = meta[0]
+    inst_w = meta[1]
+    # per-item (n_sub, n_win) cell block of mn/mx, selected with one-hot
+    # sums (no gathers in the frame path); mirrors build_work_list's
+    # counts selection
+    mn3 = mn.reshape(SR, tiles_x, n_win)
+    mx3 = mx.reshape(SR, tiles_x, n_win)
+    oh_tx = (
+        jnp.arange(tiles_x, dtype=jnp.int32)[None, :]
+        == (w_st % tiles_x)[:, None]
+    )                                               # (W, tiles_x)
+    mn_x = jnp.min(
+        jnp.where(oh_tx[:, None, :, None], mn3[None], jnp.int32(2**30)),
+        axis=2,
+    )                                               # (W, SR, n_win)
+    mx_x = jnp.max(
+        jnp.where(oh_tx[:, None, :, None], mx3[None], jnp.int32(-1)),
+        axis=2,
+    )
+    rows = (
+        (w_st // tiles_x)[:, None] * n_sub
+        + jnp.arange(n_sub, dtype=jnp.int32)[None, :]
+    )                                               # (W, n_sub)
+    oh_r = rows[:, :, None] == jnp.arange(SR, dtype=jnp.int32)[None, None, :]
+    mn_c = jnp.min(
+        jnp.where(oh_r[..., None], mn_x[:, None], jnp.int32(2**30)),
+        axis=2,
+    )                                               # (W, n_sub, n_win)
+    mx_c = jnp.max(
+        jnp.where(oh_r[..., None], mx_x[:, None], jnp.int32(-1)), axis=2
+    )
+    won = (
+        (mn_c <= inst_w[:, None, None]) & (inst_w[:, None, None] <= mx_c)
+    ).reshape(W, n_sub * n_win)
+    rounds2 = jnp.where(won.T, work.sub_rounds, 0)   # (n_cell, W)
+    item_live = (meta[5] == 1) & jnp.any(rounds2 > 0, axis=0)
+    meta2 = meta.at[5].set(item_live.astype(jnp.int32))
+    return WorkList(meta=meta2, sub_rounds=rounds2,
+                    num_items=work.num_items)
+
+
+def _resolve_kernel(
+    meta_ref,     # scalar prefetch (9, MAX_WORK) int32
+    subr_ref,     # scalar prefetch (n_cell, MAX_WORK) int32 — FILTERED
+    data_ref,     # (1, 48, T) f32 — one instance's packed tri data
+    cols_ref,     # (1, 8, T) f32 — bbox/valid columns
+    win_ref,      # (tile, tile) i32 — phase-1 winner ids for this tile
+    attr_ref,     # (8, tile, tile) f32 out
+    coef_acc,     # (n_cell, 32, P) f32 scratch
+    ranks,        # (n_cell, T) f32 scratch
+    *,
+    tile: int,
+    sub_h: int,
+    compact_k: int,
+    tris_per_inst: int,
+    win_w: int,
+):
+    """Two-phase raster PHASE 2: deferred attribute resolve.
+
+    Per round, instead of evaluating edges/z over every pixel of the
+    cell, the compacted triangles' GLOBAL ids are compared against the
+    cell's phase-1 winner-id row — an exact one-hot with nonzeros only
+    at pixels this round's triangles WON — and the winner's 27
+    interpolation-plane coefficients accumulate through the same 3-term
+    bf16 swap dots the single-phase kernel uses. Every pixel's winner
+    appears in exactly one round of exactly one item (global ids are
+    unique), so accumulation (+=) reproduces the single-phase where-swap
+    EXACTLY: non-winner rounds contribute exact zeros. The eval sweep,
+    cover chain, z state, and coefficient read-modify-select of the
+    single-phase kernel are all gone; what remains per round is one
+    (K, P) integer compare + 6 MXU dots + one accumulate."""
+    w = pl.program_id(0)
+    first = meta_ref[2, w]
+    last = meta_ref[3, w]
+    base_id = meta_ref[4, w]
+    ty = meta_ref[6, w]
+    tx = meta_ref[7, w]
+
+    n_sub = tile // sub_h
+    n_win = tile // win_w
+    n_cell = n_sub * n_win
+    P = sub_h * win_w
+    K = compact_k
+    T = tris_per_inst
+
+    x0f = tx.astype(jnp.float32) * tile
+    y0f = ty.astype(jnp.float32) * tile
+
+    @pl.when(first == 1)
+    def _init_tile():
+        coef_acc[:] = jnp.zeros_like(coef_acc)
+
+    item_valid_f = meta_ref[5, w]
+
+    @pl.when(item_valid_f == 1)
+    def _run_item():
+        # channels [12:42): 27 plane coefficients (SoA), valid, 2 ids —
+        # a contiguous sublane slice of the SAME tri_data phase 1 read
+        dres = data_ref[0, _R_COEF:_R_ID + 2, :]      # (30, T)
+        d_hi, d_mid, d_lo = _split3_bf16(dres)
+        c_valid = NUM_COEF                             # 27
+        c_id = NUM_COEF + 1                            # 28
+
+        # identical incidence masks/ranks as phase 1 (the filtered round
+        # counts are either the full phase-1 count or 0, never partial,
+        # so rank r*K+k indexes the same triangle group in both phases)
+        cb = cols_ref[0]                              # (8, T)
+        crow = jax.lax.broadcasted_iota(jnp.int32, (n_cell, T), 0)
+        sy0v = y0f + (crow // n_win).astype(jnp.float32) * sub_h
+        wx0v = x0f + (crow % n_win).astype(jnp.float32) * win_w
+        m = (
+            (cb[_C_Y0:_C_Y0 + 1, :] <= sy0v + (sub_h - 1))
+            & (cb[_C_Y1:_C_Y1 + 1, :] >= sy0v)
+            & (cb[_C_X0:_C_X0 + 1, :] <= wx0v + (win_w - 1))
+            & (cb[_C_X1:_C_X1 + 1, :] >= wx0v)
+            & (cb[_C_VALID:_C_VALID + 1, :] > 0.0)
+        )                                             # (n_cell, T)
+        mf = m.astype(jnp.float32)
+        csum = _lane_cumsum(mf)
+        ranks[:] = jnp.where(m, csum - 1.0, -1.0)
+
+        kiota_f = jax.lax.broadcasted_iota(
+            jnp.int32, (K, T), 0
+        ).astype(jnp.float32)
+        ntdims = (((1,), (1,)), ((), ()))
+        wdims = (((0,), (0,)), ((), ()))
+
+        def cell_body(c, _):
+            n_rounds = subr_ref[c, w]
+
+            def round_body(r, _):
+                rank_s = (ranks[pl.ds(c, 1), :]
+                          - (r * K).astype(jnp.float32))
+                oh = (rank_s == kiota_f).astype(jnp.bfloat16)  # (K, T)
+                p_lo = jax.lax.dot_general(
+                    oh, d_lo, ntdims, preferred_element_type=jnp.float32)
+                p_mid = jax.lax.dot_general(
+                    oh, d_mid, ntdims, preferred_element_type=jnp.float32)
+                p_hi = jax.lax.dot_general(
+                    oh, d_hi, ntdims, preferred_element_type=jnp.float32)
+                blk = (p_lo + p_mid) + p_hi                     # (K, 30)
+
+                live = blk[:, c_valid:c_valid + 1] > 0.5        # (K, 1)
+                gid = base_id + (
+                    blk[:, c_id:c_id + 1] + blk[:, c_id + 1:c_id + 2]
+                ).astype(jnp.int32)                             # (K, 1)
+                # the cell's winner-id rows straight off the tile ref
+                # (dynamic SUBLANE offset — legal; n_win == 1 is asserted
+                # at the wrapper so the lane extent is the full tile);
+                # (sub_h, tile) -> (1, P) reshape is contiguous
+                win_row = win_ref[
+                    pl.ds(c * sub_h, sub_h), :
+                ].reshape(1, P)                                 # (1, P)
+                ohw = ((gid == win_row) & live).astype(jnp.bfloat16)
+
+                s = blk[:, 0:NUM_COEF]                          # (K, 27)
+                s_hi, s_mid, s_lo = _split3_bf16(s)
+                swapped = jax.lax.dot_general(
+                    s_lo, ohw, wdims, preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    s_mid, ohw, wdims, preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    s_hi, ohw, wdims, preferred_element_type=jnp.float32,
+                )                                               # (27, P)
+                acc = coef_acc[pl.ds(c, 1), 0:NUM_COEF, :]
+                coef_acc[pl.ds(c, 1), 0:NUM_COEF, :] = (
+                    acc + swapped[None]
+                )
+                return 0
+
+            @pl.when(n_rounds > 0)
+            def _run_rounds():
+                jax.lax.fori_loop(0, n_rounds, round_body, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_cell, cell_body, 0)
+
+    @pl.when(last == 1)
+    def _finalize():
+        # identical plane-eval finalize to the single-phase kernel
+        # (same inputs -> bit-identical attrs)
+        dxl = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        for s in range(n_sub):
+            sy0 = y0f + s * sub_h
+            py = (dxl // win_w).astype(jnp.float32) + 0.5 + sy0
+            vparts = []
+            for wi in range(n_win):
+                px = (dxl % win_w).astype(jnp.float32) + (
+                    0.5 + x0f + wi * win_w
+                )
+                coef = coef_acc[s * n_win + wi, 0:NUM_COEF, :]
+                vals = (
+                    coef[0:9, :] * px + coef[9:18, :] * py
+                    + coef[18:27, :]
+                )                                     # (9, P)
+                inv_w = vals[0:1, :]
+                denom = jnp.where(jnp.abs(inv_w) > 1e-20, inv_w, 1.0)
+                vparts.append(
+                    (vals[1:9, :] / denom).reshape(8, sub_h, win_w)
+                )
+            out = (
+                jnp.concatenate(vparts, axis=2) if n_win > 1
+                else vparts[0].reshape(8, sub_h, tile)
+            )
+            attr_ref[:, s * sub_h:(s + 1) * sub_h, :] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile", "sub_h", "compact_k",
+        "max_work", "interpret", "win_w",
+    ),
+)
+def rasterize_pallas_resolve(
+    packed: PackedTris,
+    work: WorkList,            # filtered (filter_work_to_winners)
+    id_pad: jnp.ndarray,       # (pad_h, pad_w) i32 phase-1 winner ids
+    width: int,
+    height: int,
+    tile: int = 128,
+    sub_h: int = 16,
+    compact_k: int = 32,
+    max_work: int = 2048,
+    interpret: bool = False,
+    win_w: int = 128,
+):
+    """Two-phase raster PHASE 2 wrapper: returns attrs (8, pad_h, pad_w)
+    f32 (uncropped), bit-identical to rasterize_pallas's attribute
+    planes given phase 1's winner ids."""
+    tri_data = packed.tri_data
+    I, C, T = tri_data.shape
+    assert C == _R_TOTAL
+    assert win_w == tile, (
+        "the resolve kernel reads each cell's winner-id rows as a "
+        "dynamic-sublane slice of the tile, which needs full-width cells"
+    )
+    n_cell = (tile // sub_h) * (tile // win_w)
+    assert work.sub_rounds.shape[0] == n_cell
+    pad_w = -(-width // tile) * tile
+    pad_h = -(-height // tile) * tile
+    P = sub_h * win_w
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(max_work,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, _R_TOTAL, T),
+                lambda w, meta, sr: (meta[1, w], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, _C_ROWS, T), lambda w, meta, sr: (meta[1, w], 0, 0)
+            ),
+            pl.BlockSpec(
+                (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (8, tile, tile),
+                lambda w, meta, sr: (0, meta[6, w], meta[7, w]),
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_cell, 32, P), jnp.float32),
+            pltpu.VMEM((n_cell, T), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _resolve_kernel,
+        tile=tile,
+        sub_h=sub_h,
+        compact_k=compact_k,
+        tris_per_inst=T,
+        win_w=win_w,
+    )
+    attr = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, pad_h, pad_w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(work.meta, work.sub_rounds, tri_data, packed.tri_cols, id_pad)[0]
+    return attr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
+        "max_work", "interpret", "win_w", "resolve_sub_h",
+    ),
+)
+def rasterize_pallas_two_phase(
+    packed: PackedTris,
+    work: WorkList,
+    width: int,
+    height: int,
+    tile: int = 128,
+    sub_h: int = 16,
+    compact_k: int = 32,
+    reverse_z: bool = False,
+    max_work: int = 2048,
+    interpret: bool = False,
+    win_w: int = 128,
+    resolve_sub_h: int = 0,    # 0 = same as sub_h
+):
+    """Two-phase rasterization (VERDICT r4 next #1): phase 1 rasters
+    z + winner id at depth-kernel cost (no swap dots, no coefficient
+    accumulator), phase 2 resolves the 48 attribute channels ONLY for
+    (item, cell) pairs whose instance won pixels — the TPU analog of
+    fragment shading behind the GPU's early-z (TerrainPass.cpp:222).
+    Output contract and bit-exactness match rasterize_pallas.
+    ``resolve_sub_h`` must currently equal sub_h (the filtered work list
+    reuses phase 1's cell geometry)."""
+    del resolve_sub_h  # reserved: phase-2 cells re-derive from phase 1
+    tri_data = packed.tri_data
+    I, C, T = tri_data.shape
+    z_pad, id_pad = rasterize_pallas_zid(
+        packed, work, width, height, tile=tile, sub_h=sub_h,
+        compact_k=compact_k, reverse_z=reverse_z, max_work=max_work,
+        interpret=interpret, win_w=win_w,
+    )
+    work2 = filter_work_to_winners(
+        work, id_pad, T, width, height, tile=tile, sub_h=sub_h,
+        win_w=win_w,
+    )
+    attr = rasterize_pallas_resolve(
+        packed, work2, id_pad, width, height, tile=tile, sub_h=sub_h,
+        compact_k=compact_k, max_work=max_work, interpret=interpret,
+        win_w=win_w,
+    )
+    z = z_pad[:height, :width]
+    idb = id_pad[:height, :width]
+    worst = -F32_FAR if reverse_z else F32_FAR
+    background = z == worst
+    idb = jnp.where(background, jnp.int32(-1), idb)
+    attrs = jnp.moveaxis(attr[:, :height, :width], 0, -1)
+    return z, idb, attrs, None

@@ -355,17 +355,30 @@ class Renderer:
                 compact_k=cfg.raster.compact_k,
                 win_w=cfg.raster.win_w,
             )
-            z, prim_id, attrs, _ = raster_pallas.rasterize_pallas(
-                packed, work, cfg.width, out_h,
-                tile=cfg.raster.tile_w, sub_h=cfg.raster.subtile_h,
-                compact_k=cfg.raster.compact_k,
-                win_w=cfg.raster.win_w,
-                reverse_z=cfg.raster.reverse_z,
-                max_work=self.max_work,
-                interpret=self.interpret,
-                wire_px=wire_px,
-                rounds_blk=cfg.raster.compact_rounds_blk,
-            )
+            if cfg.raster.two_phase and wire_px == 0.0:
+                z, prim_id, attrs, _ = (
+                    raster_pallas.rasterize_pallas_two_phase(
+                        packed, work, cfg.width, out_h,
+                        tile=cfg.raster.tile_w,
+                        sub_h=cfg.raster.subtile_h,
+                        compact_k=cfg.raster.compact_k,
+                        win_w=cfg.raster.win_w,
+                        reverse_z=cfg.raster.reverse_z,
+                        max_work=self.max_work,
+                        interpret=self.interpret,
+                    )
+                )
+            else:
+                z, prim_id, attrs, _ = raster_pallas.rasterize_pallas(
+                    packed, work, cfg.width, out_h,
+                    tile=cfg.raster.tile_w, sub_h=cfg.raster.subtile_h,
+                    compact_k=cfg.raster.compact_k,
+                    win_w=cfg.raster.win_w,
+                    reverse_z=cfg.raster.reverse_z,
+                    max_work=self.max_work,
+                    interpret=self.interpret,
+                    wire_px=wire_px,
+                )
             return z, prim_id, attrs, instances, work.num_items
         return z, prim_id, attrs, instances, jnp.int32(0)
 
@@ -554,10 +567,14 @@ class Renderer:
             # same-ranges superset of the main selection; a coarsened
             # light selection (shadow_select="light" / shadow_lod_bias)
             # is DIFFERENT geometry, so each pass selects its own
+            # quantized-eye selection (shadow_eye_quant) morphs from the
+            # SNAPPED eye; the main view must morph from the true eye or
+            # geometry pops on cell crossings — no sharing there either
             share = (
                 lock_instances is None
                 and cfg.shadow_select == "main"
                 and cfg.shadow_lod_bias == 0
+                and cfg.shadow_eye_quant == 0.0
             )
             out_l = self._light_depth_pass(
                 params, vc["camera_pos"], scene_wa=scene_wa,
@@ -867,6 +884,13 @@ class Renderer:
             camera_pos = jnp.array([0.0, 1.0, 0.0], jnp.float32) \
                 * params.max_height
         sel_eye = camera_pos
+        if cfg.shadow_select == "main" and cfg.shadow_eye_quant > 0.0:
+            # snap the selection eye to the quant lattice (cell centers):
+            # the light pass becomes piecewise-constant in camera
+            # position, enabling the exact quantized-eye shadow cache
+            # (config.FrameConfig.shadow_eye_quant)
+            q = jnp.float32(cfg.shadow_eye_quant)
+            sel_eye = (jnp.floor(sel_eye / q) + 0.5) * q
         sel_ranges = ts.lod_ranges()
         if cfg.shadow_select == "light":
             # the CSM proxy eye: world-center ground point backed off
@@ -982,7 +1006,6 @@ class Renderer:
             sub_h=sub_l, compact_k=cfg.raster.compact_k,
             win_w=cfg.raster.win_w,
             max_work=self.max_work, interpret=self.interpret,
-            rounds_blk=cfg.raster.compact_rounds_blk,
         )
         ovf = (
             (work.num_items > self.max_work)
@@ -992,58 +1015,86 @@ class Renderer:
             return z, wtc, z_range, ovf, shear, instances, geom
         return z, wtc, z_range, ovf, shear
 
-    def shadow_prepass(self, params: Optional[FrameParams] = None):
+    def shadow_prepass(self, params: Optional[FrameParams] = None,
+                       camera_pos: Optional[jnp.ndarray] = None):
         """Run the map-mode light pass standalone and return its result
         tuple (depth_map, world_to_clip, z_range, overflow, shear) for
         reuse via ``render(..., shadow_prepass=...)``.
 
-        Only meaningful under ``shadow_select="light"``: there the
-        selection eye is the CSM proxy origin (a pure function of the
-        sun), so the whole pass depends only on (sun, max_height, scene
-        transforms, heightmap) — NOT the camera — and one raster serves
-        every frame until those change. The reference re-renders its
-        shadow map every frame because its shadow view is camera-fit
-        (Renderer.cpp:345-348); the whole-world sheared projection has
-        no such dependence, which makes the static-scene cache exact
-        (tests/test_shadow_cache.py asserts bit-equality with the
-        in-frame pass)."""
+        Meaningful under ``shadow_select="light"`` (the selection eye is
+        the CSM proxy origin, a pure function of the sun, so the pass
+        depends only on (sun, max_height, scene transforms, heightmap) —
+        NOT the camera) or under ``shadow_select="main"`` with
+        ``shadow_eye_quant > 0`` and ``camera_pos`` given (the selection
+        eye snaps to the quant lattice, so the pass is piecewise-constant
+        in the camera and one raster serves every frame inside the
+        cell). The reference re-renders its shadow map every frame
+        because its shadow view is camera-fit (Renderer.cpp:345-348);
+        the whole-world sheared projection has no such dependence, which
+        makes both cache variants exact (tests/test_shadow_cache.py
+        asserts bit-equality with the in-frame pass)."""
         cfg = self.config
         assert cfg.shadow_mode == "map", "shadow_prepass needs map mode"
-        assert cfg.shadow_select == "light", (
-            "the cached shadow map is camera-independent only under "
-            "shadow_select='light' (main-eye selection tracks the camera)"
+        quant_main = (
+            cfg.shadow_select == "main" and cfg.shadow_eye_quant > 0.0
+            and camera_pos is not None
+        )
+        assert cfg.shadow_select == "light" or quant_main, (
+            "the cached shadow map needs shadow_select='light' or "
+            "shadow_select='main' with shadow_eye_quant > 0 and a "
+            "camera_pos (exact per-frame main-eye selection tracks the "
+            "camera continuously)"
         )
         if params is None:
             params = FrameParams.default(self.light)
         if not hasattr(self, "_shadow_prepass_jit"):
-            def prepass(p, xf):
+            def prepass(p, xf, cam):
                 wa = None
                 if self._scene_obj is not None:
                     wa = self._scene_blocks(xf, p.max_height)
-                return self._light_depth_pass(p, scene_wa=wa)
+                return self._light_depth_pass(p, cam, scene_wa=wa)
 
             self._shadow_prepass_jit = jax.jit(prepass)
-        return self._shadow_prepass_jit(params, self.scene_transforms)
+        return self._shadow_prepass_jit(
+            params, self.scene_transforms, camera_pos
+        )
 
-    def cached_shadow_prepass(self, params: Optional[FrameParams] = None):
+    def cached_shadow_prepass(self, params: Optional[FrameParams] = None,
+                              camera_pos=None):
         """``shadow_prepass`` memoized on the values it depends on (sun
-        direction, max height, scene transforms): recomputes only when
-        one changes, otherwise returns the stored device arrays. The
-        per-frame analog of a real engine's static-scene shadow-map
-        cache; drive loops call this every frame."""
+        direction, max height, scene transforms — plus the quantized eye
+        CELL under shadow_select="main"/shadow_eye_quant): recomputes
+        only when one changes, otherwise returns the stored device
+        arrays. Cell invalidation is EXACT: the light pass consumes only
+        the snapped eye, which is constant within a cell. The per-frame
+        analog of a real engine's static-scene shadow-map cache; drive
+        loops call this every frame."""
         import numpy as np
 
+        cfg = self.config
         if params is None:
             params = FrameParams.default(self.light)
+        cell = None
+        if (cfg.shadow_select == "main" and cfg.shadow_eye_quant > 0.0
+                and camera_pos is not None):
+            cell = tuple(
+                np.floor(
+                    np.asarray(camera_pos, np.float32)
+                    / np.float32(cfg.shadow_eye_quant)
+                ).astype(np.int64).tolist()
+            )
         key = (
             np.asarray(params.light_direction).tobytes(),
             np.asarray(params.max_height).tobytes(),
             None if self.scene_transforms is None
             else np.asarray(self.scene_transforms).tobytes(),
+            cell,
         )
         cached = getattr(self, "_shadow_prepass_cache", None)
         if cached is None or cached[0] != key:
-            self._shadow_prepass_cache = (key, self.shadow_prepass(params))
+            self._shadow_prepass_cache = (
+                key, self.shadow_prepass(params, camera_pos)
+            )
         return self._shadow_prepass_cache[1]
 
     def render_shadow_depth(self, params: Optional[FrameParams] = None
