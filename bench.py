@@ -101,6 +101,14 @@ def build():
     hm = hmod.procedural_heightmap(256)
     alb = hmod.procedural_albedo(hm)
     on_tpu = jax.default_backend() == "tpu"
+    # boot scene: the reference never renders an empty world — main.cpp
+    # :89-95 loads Cube.gltf at startup and Scene Refresh / GBuffer fill
+    # run every frame (Renderer.cpp:328-331, 384-399). The headline
+    # numbers carry the same workload (Scene.default() is the
+    # Cube.gltf analog).
+    from vrenderer_tpu.models.scene import Scene
+
+    scene = Scene.default()
     # 4K has ~4x the supertiles: 1080p fits ~900 work items in 2048,
     # 4K needs ~2700 (the overflow probe asserts otherwise)
     # render budget: the flythrough selects ~300 instances peak; 512 is
@@ -120,7 +128,8 @@ def build():
     r = Renderer(cfg, hm, alb, raster_backend="pallas",
                  interpret=not on_tpu,
                  max_work=max_work,
-                 max_active=max_active)
+                 max_active=max_active,
+                 scene=scene)
     params = FrameParams.default()
     cams = flythrough(64, heightmap=hm, max_height=400.0,
                       world_size=ts.world_size)
@@ -199,7 +208,12 @@ def chain_fn(renderer, params, cams, n):
 
         def run():
             def light(eye):
-                out = renderer._light_depth_pass(params, eye)
+                wa = None
+                if renderer._scene_obj is not None:
+                    wa = renderer._scene_blocks(
+                        renderer.scene_transforms, params.max_height
+                    )
+                out = renderer._light_depth_pass(params, eye, scene_wa=wa)
                 return jax.tree_util.tree_map(jnp.asarray, out)
 
             def body(carry, i):
@@ -227,10 +241,15 @@ def chain_fn(renderer, params, cams, n):
         # chain (the steady-state cache hit every frame of a real loop);
         # the short/long chain difference charges frames only the
         # cached-loop cost, exactly like App.run_flythrough's loop
-        prepass = (
-            renderer._light_depth_pass(params) if MODE == "mapcache"
-            else None
-        )
+        if MODE == "mapcache":
+            wa = None
+            if renderer._scene_obj is not None:
+                wa = renderer._scene_blocks(
+                    renderer.scene_transforms, params.max_height
+                )
+            prepass = renderer._light_depth_pass(params, scene_wa=wa)
+        else:
+            prepass = None
 
         def body(i, acc):
             cam = Camera(

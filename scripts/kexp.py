@@ -123,6 +123,23 @@ def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
             return z + attrs[..., 0] * 1e-30
         return z
 
+    if depth == "fstats":
+        # winner-filter effectiveness: rounds surviving phase 2
+        _, id_pad = rp.rasterize_pallas_zid(
+            packed, work, cfg.width, cfg.height, tile=cfg.raster.tile_w,
+            sub_h=sub_h, compact_k=compact_k, max_work=max_work,
+            win_w=win_w)
+        work2 = rp.filter_work_to_winners(
+            work, id_pad, cfg.terrain.tris_per_instance, cfg.width,
+            cfg.height, tile=cfg.raster.tile_w, sub_h=sub_h, win_w=win_w)
+        r1 = np.asarray(work.sub_rounds)
+        r2 = np.asarray(work2.sub_rounds)
+        m2 = np.asarray(work2.meta)
+        print(f"  filter: rounds {r1.sum()} -> {r2.sum()} "
+              f"({r2.sum()/max(r1.sum(),1):.2f}x), live items "
+              f"{(np.asarray(work.meta)[5]==1).sum()} -> {(m2[5]==1).sum()}")
+        return 0.0
+
     def chain(n):
         def body(i, carry):
             splits, acc = carry
@@ -169,7 +186,7 @@ if __name__ == "__main__":
             win_w = int(a[4:])
         elif a == "stats":
             do_stats = True
-        elif a in ("depth", "zid", "two", "fullc"):
+        elif a in ("depth", "zid", "two", "fullc", "fstats"):
             depth = a
     cfg, setup, bbox, usable, dist = build_setup(cam_idx)
     print(f"camera {cam_idx}")

@@ -31,7 +31,11 @@ def run(mode: str):
         shadow_mode="map" if mode == "map" else "horizon",
         shadow_resolution=2048,
     )
-    app = App(cfg, raster_backend="pallas")
+    # boot scene: the reference's per-pass tables always include Scene
+    # Refresh / GBuffer fill (main.cpp:89-95 loads Cube.gltf at startup)
+    from vrenderer_tpu.models.scene import Scene
+
+    app = App(cfg, raster_backend="pallas", scene=Scene.default())
     app.renderer.max_work = 4096 if h > 1200 else 2048
     if mode == "map":
         app.renderer.max_active = 768

@@ -280,3 +280,45 @@ def test_work_list_structure():
     # dummy leading items are invalid
     firsts = np.nonzero(meta[2, :n] == 1)[0]
     assert np.all(meta[5, firsts] == 0)
+
+
+def test_two_phase_full_frame_identical():
+    """Renderer-level parity: a full frame (lighting, shadows, scene
+    mesh) rendered with RasterSettings.two_phase must be bit-identical
+    to the single-phase frame."""
+    import dataclasses
+
+    from vrenderer_tpu.config import FrameConfig, RasterSettings
+    from vrenderer_tpu.renderer import Renderer, FrameParams
+    from vrenderer_tpu.terrain import heightmap as hmod
+    from vrenderer_tpu.models import scene as scenemod
+
+    hm = hmod.procedural_heightmap(64, seed=5)
+    alb = hmod.procedural_albedo(hm)
+    cfg = FrameConfig(
+        width=256, height=128,
+        terrain=TerrainSettings(surface_size=64, world_size=64,
+                                max_instances=64, grid_size=8),
+    )
+    cfg2 = dataclasses.replace(
+        cfg, raster=dataclasses.replace(RasterSettings(), two_phase=True)
+    )
+    sc = scenemod.Scene.default()
+    sc.instances[0].mesh = sc.instances[0].mesh._replace()
+    cam = Camera(
+        eye=jnp.asarray([3.0, 26.0, 42.0], jnp.float32),
+        target=jnp.zeros((3,), jnp.float32),
+        up=jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+    )
+    params = FrameParams.default()._replace(max_height=jnp.float32(12.0))
+    r1 = Renderer(cfg, hm, alb, raster_backend="pallas", interpret=True,
+                  max_work=256, scene=sc)
+    r2 = Renderer(cfg2, hm, alb, raster_backend="pallas", interpret=True,
+                  max_work=256, scene=sc)
+    o1 = r1.render(cam, params)
+    o2 = r2.render(cam, params)
+    np.testing.assert_array_equal(np.asarray(o1.ldr), np.asarray(o2.ldr))
+    np.testing.assert_array_equal(np.asarray(o1.depth),
+                                  np.asarray(o2.depth))
+    np.testing.assert_array_equal(np.asarray(o1.prim_id),
+                                  np.asarray(o2.prim_id))

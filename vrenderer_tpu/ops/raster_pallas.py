@@ -1362,6 +1362,7 @@ def _resolve_kernel(
     attr_ref,     # (8, tile, tile) f32 out
     coef_acc,     # (n_cell, 32, P) f32 scratch
     ranks,        # (n_cell, T) f32 scratch
+    win_scr,      # (n_cell, P) i32 scratch — cell-major winner ids
     *,
     tile: int,
     sub_h: int,
@@ -1403,6 +1404,11 @@ def _resolve_kernel(
     @pl.when(first == 1)
     def _init_tile():
         coef_acc[:] = jnp.zeros_like(coef_acc)
+        # cell-major winner ids once per tile (an in-loop
+        # slice+reshape variant measured the same — the resolve's cost
+        # is the per-round (K, P) one-hot build + accumulate, not this
+        # relayout; see docs/PERFORMANCE.md round 5)
+        win_scr[:] = win_ref[:].reshape(n_cell, P)
 
     item_valid_f = meta_ref[5, w]
 
@@ -1458,13 +1464,7 @@ def _resolve_kernel(
                 gid = base_id + (
                     blk[:, c_id:c_id + 1] + blk[:, c_id + 1:c_id + 2]
                 ).astype(jnp.int32)                             # (K, 1)
-                # the cell's winner-id rows straight off the tile ref
-                # (dynamic SUBLANE offset — legal; n_win == 1 is asserted
-                # at the wrapper so the lane extent is the full tile);
-                # (sub_h, tile) -> (1, P) reshape is contiguous
-                win_row = win_ref[
-                    pl.ds(c * sub_h, sub_h), :
-                ].reshape(1, P)                                 # (1, P)
+                win_row = win_scr[pl.ds(c, 1), :]               # (1, P)
                 ohw = ((gid == win_row) & live).astype(jnp.bfloat16)
 
                 s = blk[:, 0:NUM_COEF]                          # (K, 27)
@@ -1580,6 +1580,7 @@ def rasterize_pallas_resolve(
         scratch_shapes=[
             pltpu.VMEM((n_cell, 32, P), jnp.float32),
             pltpu.VMEM((n_cell, T), jnp.float32),
+            pltpu.VMEM((n_cell, P), jnp.int32),
         ],
     )
 
