@@ -71,6 +71,12 @@ if "--mode" in sys.argv:
 SNAP_QUANT = 256.0
 if "--quant" in sys.argv:
     SNAP_QUANT = float(sys.argv[sys.argv.index("--quant") + 1])
+# map-mode light-raster resolution; override: --shadowres N (the
+# measured 1024 error bound vs the 2048 default lives in
+# docs/PERFORMANCE.md round 5)
+SHADOW_RES = 2048
+if "--shadowres" in sys.argv:
+    SHADOW_RES = int(sys.argv[sys.argv.index("--shadowres") + 1])
 if MODE in ("4k", "envelope"):
     WIDTH, HEIGHT = 3840, 2176
 else:
@@ -93,7 +99,7 @@ def build():
         shadow_mode="map" if MODE in ("map", "mapref", "mapcache",
                                       "mapsnap")
         else "horizon",
-        shadow_resolution=2048,
+        shadow_resolution=SHADOW_RES,
         shadow_select="light" if MODE in ("mapref", "mapcache")
         else "main",
         shadow_eye_quant=SNAP_QUANT if MODE == "mapsnap" else 0.0,

@@ -67,13 +67,13 @@ def build_setup(cam_idx=0, max_active=512):
 
 
 def build_work(cfg, packed, bbox, usable, dist, compact_k, sub_h,
-               max_work=2048, win_w=128):
+               max_work=2048, win_w=128, tile=128, tile_h=0):
     ts = cfg.terrain
     work = rp.build_work_list(
-        bbox, usable, cfg.width, cfg.height, tile=cfg.raster.tile_w,
+        bbox, usable, cfg.width, cfg.height, tile=tile,
         tris_per_inst=ts.tris_per_instance, max_work=max_work,
         order_key=dist, packed=packed, sub_h=sub_h, compact_k=compact_k,
-        win_w=win_w)
+        win_w=win_w, tile_h=tile_h)
     return packed, work
 
 
@@ -90,33 +90,34 @@ def work_stats(cfg, work, compact_k, sub_h):
 
 
 def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
-                max_work=2048, win_w=128, depth=""):
+                max_work=2048, win_w=128, depth="", tile=128, tile_h=0):
     packed, work = build_work(cfg, setup, bbox, usable, dist, compact_k,
-                              sub_h, max_work, win_w)
+                              sub_h, max_work, win_w, tile=tile,
+                              tile_h=tile_h)
     work_stats(cfg, work, compact_k, sub_h)
 
     def call(splits):
         p = rp.PackedTris(splits, packed.tri_cols, packed.batch_meta)
         if depth == "depth":
             return rp.rasterize_pallas_depth(
-                p, work, cfg.width, cfg.height, tile=cfg.raster.tile_w,
+                p, work, cfg.width, cfg.height, tile=tile, tile_h=tile_h,
                 sub_h=sub_h, compact_k=compact_k, max_work=max_work,
                 win_w=win_w)
         if depth == "zid":
             z, _ = rp.rasterize_pallas_zid(
-                p, work, cfg.width, cfg.height, tile=cfg.raster.tile_w,
+                p, work, cfg.width, cfg.height, tile=tile, tile_h=tile_h,
                 sub_h=sub_h, compact_k=compact_k, max_work=max_work,
                 win_w=win_w)
             return z[:cfg.height, :cfg.width]
         if depth == "two":
             z, idb, attrs, _ = rp.rasterize_pallas_two_phase(
-                p, work, cfg.width, cfg.height, tile=cfg.raster.tile_w,
+                p, work, cfg.width, cfg.height, tile=tile, tile_h=tile_h,
                 sub_h=sub_h, compact_k=compact_k, max_work=max_work,
                 win_w=win_w)
             # consume attrs too so the resolve pass is not pruned
             return z + attrs[..., 0] * 1e-30
         z, idb, attrs, _ = rp.rasterize_pallas(
-            p, work, cfg.width, cfg.height, tile=cfg.raster.tile_w,
+            p, work, cfg.width, cfg.height, tile=tile, tile_h=tile_h,
             sub_h=sub_h, compact_k=compact_k, max_work=max_work,
             win_w=win_w)
         if depth == "fullc":   # full kernel, attrs consumed (fair vs two)
@@ -126,12 +127,12 @@ def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
     if depth == "fstats":
         # winner-filter effectiveness: rounds surviving phase 2
         _, id_pad = rp.rasterize_pallas_zid(
-            packed, work, cfg.width, cfg.height, tile=cfg.raster.tile_w,
+            packed, work, cfg.width, cfg.height, tile=tile,
             sub_h=sub_h, compact_k=compact_k, max_work=max_work,
             win_w=win_w)
         work2 = rp.filter_work_to_winners(
             work, id_pad, cfg.terrain.tris_per_instance, cfg.width,
-            cfg.height, tile=cfg.raster.tile_w, sub_h=sub_h, win_w=win_w)
+            cfg.height, tile=tile, sub_h=sub_h, win_w=win_w)
         r1 = np.asarray(work.sub_rounds)
         r2 = np.asarray(work2.sub_rounds)
         m2 = np.asarray(work2.meta)
@@ -157,7 +158,7 @@ def time_config(cfg, setup, bbox, usable, dist, compact_k, sub_h,
     t12 = min(_t(lambda: float(f12(sp))) for _ in range(3))
     ms = (t12 - t4) / 8 * 1000
     print(f"  kernel K={compact_k:3d} sub_h={sub_h} win={win_w} "
-          f"depth={depth}: {ms:8.2f} ms/frame")
+          f"tile={tile}x{tile_h or tile} depth={depth}: {ms:8.2f} ms/frame")
     return ms
 
 
@@ -173,6 +174,8 @@ if __name__ == "__main__":
     ks = []
     sub_h = 8
     win_w = 128
+    tile = 128
+    tile_h = 0
     do_stats = False
     depth = ""
     for a in args:
@@ -184,6 +187,10 @@ if __name__ == "__main__":
             sub_h = int(a[4:])
         elif a.startswith("win="):
             win_w = int(a[4:])
+        elif a.startswith("tile="):
+            tile = int(a[5:])
+        elif a.startswith("tileh="):
+            tile_h = int(a[6:])
         elif a == "stats":
             do_stats = True
         elif a in ("depth", "zid", "two", "fullc", "fstats"):
@@ -196,4 +203,4 @@ if __name__ == "__main__":
             work_stats(cfg, work, k, sub_h)
     for k in ks:
         time_config(cfg, setup, bbox, usable, dist, k, sub_h, win_w=win_w,
-                    depth=depth)
+                    depth=depth, tile=tile, tile_h=tile_h)

@@ -409,6 +409,7 @@ def build_work_list(
     sub_h: int = 8,
     compact_k: int = 32,
     win_w: int = 128,
+    tile_h: int = 0,
 ) -> WorkList:
     """Supertile-major (st, instance) pairs, one leading dummy per
     supertile. With order_key (camera distance), instances are emitted
@@ -416,11 +417,20 @@ def build_work_list(
 
     sub_rounds[c, w] = ceil(#triangles of item w touching cell c / K)
     where cell c = subtile_row * (tile // win_w) + x_window: the exact
-    number of K-wide compaction rounds the kernel runs per cell."""
+    number of K-wide compaction rounds the kernel runs per cell.
+
+    ``tile_h`` (0 = square = ``tile``): supertile HEIGHT — rectangular
+    supertiles (e.g. 128x256) halve the work-item count for wide
+    instance footprints without growing VMEM past what a square tile of
+    the larger side needs (the per-item fixed cost — DMA + in-kernel
+    bf16 split + rank build — is ~3.5 us, the dominant non-eval term on
+    round-heavy cameras; see docs/PERFORMANCE.md round 5)."""
     if packed is None:
         raise ValueError("packed (from pack_tri_data) is required")
+    if tile_h == 0:
+        tile_h = tile
     tiles_x = -(-width // tile)
-    tiles_y = -(-height // tile)
+    tiles_y = -(-height // tile_h)
     n_st = tiles_x * tiles_y
     I = bbox.shape[0]
 
@@ -436,11 +446,11 @@ def build_work_list(
 
     st = jnp.arange(n_st, dtype=jnp.int32)
     tx = (st % tiles_x).astype(jnp.float32) * tile
-    ty = (st // tiles_x).astype(jnp.float32) * tile
+    ty = (st // tiles_x).astype(jnp.float32) * tile_h
     ovl = (
         (bbox[:, 0][None, :] <= (tx + tile - 1)[:, None])
         & (bbox[:, 2][None, :] >= tx[:, None])
-        & (bbox[:, 1][None, :] <= (ty + tile - 1)[:, None])
+        & (bbox[:, 1][None, :] <= (ty + tile_h - 1)[:, None])
         & (bbox[:, 3][None, :] >= ty[:, None])
         & usable[None, :]
     )  # (n_st, I)
@@ -480,7 +490,7 @@ def build_work_list(
 
     inst_sel = jnp.maximum(w_inst, 0)
     tx0 = (w_st % tiles_x).astype(jnp.float32) * tile
-    ty0 = (w_st // tiles_x).astype(jnp.float32) * tile
+    ty0 = (w_st // tiles_x).astype(jnp.float32) * tile_h
 
     # conservative per-(item, tile) nearest depth for early-z: an item
     # strictly behind every pixel of a fully covered tile can never
@@ -491,7 +501,7 @@ def build_work_list(
     hit = (
         (bm[..., 0] <= tx0[:, None] + (tile - 1))
         & (bm[..., 2] >= tx0[:, None])
-        & (bm[..., 1] <= ty0[:, None] + (tile - 1))
+        & (bm[..., 1] <= ty0[:, None] + (tile_h - 1))
         & (bm[..., 3] >= ty0[:, None])
         & item_valid[:, None]
     )                                             # (W, n_batch)
@@ -513,7 +523,7 @@ def build_work_list(
     # exact). This replaces a per-work-item (max_work, n_sub, T)
     # compare/reduce sweep whose cost scaled with the work-list capacity
     # instead of the instance count.
-    n_sub = tile // sub_h
+    n_sub = tile_h // sub_h
     n_win = tile // win_w
     SR = tiles_y * n_sub
     XW = tiles_x * n_win
@@ -603,7 +613,10 @@ def _raster_kernel(
     win_w: int,
     depth_only: bool = False,
     with_id: bool = False,
+    tile_h: int = 0,
 ):
+    if tile_h == 0:
+        tile_h = tile
     if depth_only:
         if with_id:
             z_ref, id_ref, z_scr, id_scr, ranks = refs
@@ -621,7 +634,7 @@ def _raster_kernel(
     ty = meta_ref[6, w]
     tx = meta_ref[7, w]
 
-    n_sub = tile // sub_h
+    n_sub = tile_h // sub_h
     n_win = tile // win_w
     n_cell = n_sub * n_win
     P = sub_h * win_w
@@ -630,7 +643,7 @@ def _raster_kernel(
     T = tris_per_inst
 
     x0f = tx.astype(jnp.float32) * tile
-    y0f = ty.astype(jnp.float32) * tile
+    y0f = ty.astype(jnp.float32) * tile_h
 
     @pl.when(first == 1)
     def _init_tile():
@@ -936,10 +949,10 @@ def _raster_kernel(
                      .reshape(sub_h, win_w) for wi in range(n_win)],
                     axis=1,
                 ))
-            return jnp.concatenate(rows, axis=0)  # (tile, tile)
+            return jnp.concatenate(rows, axis=0)  # (tile_h, tile)
 
         if n_win == 1:
-            z_ref[:] = z_scr[:].reshape(tile, tile)
+            z_ref[:] = z_scr[:].reshape(tile_h, tile)
         else:
             z_ref[:] = stitch(z_scr[:])
         if depth_only and not with_id:
@@ -947,7 +960,7 @@ def _raster_kernel(
         idf_all = pltpu.bitcast(id_scr[:], jnp.float32)  # (n_cell, P)
         if n_win == 1:
             id_ref[:] = pltpu.bitcast(
-                idf_all.reshape(tile, tile), jnp.int32
+                idf_all.reshape(tile_h, tile), jnp.int32
             )
         else:
             id_ref[:] = pltpu.bitcast(stitch(idf_all), jnp.int32)
@@ -988,7 +1001,7 @@ def _raster_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
-        "max_work", "interpret", "wire_px", "win_w",
+        "max_work", "interpret", "wire_px", "win_w", "tile_h",
     ),
 )
 def rasterize_pallas(
@@ -1004,6 +1017,7 @@ def rasterize_pallas(
     interpret: bool = False,
     wire_px: float = 0.0,
     win_w: int = 128,
+    tile_h: int = 0,
 ):
     """Returns (z (H, W), id (H, W) i32 [-1 = background], attrs (H, W, 8),
     None). H/W are padded to tile multiples then cropped. Attributes are
@@ -1013,7 +1027,9 @@ def rasterize_pallas(
     tri_data = packed.tri_data
     I, C, T = tri_data.shape
     assert C == _R_TOTAL
-    n_cell = (tile // sub_h) * (tile // win_w)
+    if tile_h == 0:
+        tile_h = tile
+    n_cell = (tile_h // sub_h) * (tile // win_w)
     assert work.sub_rounds.shape[0] == n_cell, (
         f"work list built for {work.sub_rounds.shape[0]} cells, kernel "
         f"configured for {n_cell} (sub_h={sub_h}, win_w={win_w})"
@@ -1025,7 +1041,7 @@ def rasterize_pallas(
         f"max_work or increase sub_h/win_w"
     )
     pad_w = -(-width // tile) * tile
-    pad_h = -(-height // tile) * tile
+    pad_h = -(-height // tile_h) * tile_h
     P = sub_h * win_w
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1042,13 +1058,13 @@ def rasterize_pallas(
         ],
         out_specs=[
             pl.BlockSpec(
-                (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
+                (tile_h, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
             ),
             pl.BlockSpec(
-                (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
+                (tile_h, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
             ),
             pl.BlockSpec(
-                (8, tile, tile),
+                (8, tile_h, tile),
                 lambda w, meta, sr: (0, meta[6, w], meta[7, w]),
             ),
         ],
@@ -1069,6 +1085,7 @@ def rasterize_pallas(
         reverse_z=reverse_z,
         wire_px=wire_px,
         win_w=win_w,
+        tile_h=tile_h,
     )
     z, idb, attr = pl.pallas_call(
         kernel,
@@ -1098,7 +1115,7 @@ def rasterize_pallas(
     jax.jit,
     static_argnames=(
         "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
-        "max_work", "interpret", "win_w",
+        "max_work", "interpret", "win_w", "tile_h",
     ),
 )
 def rasterize_pallas_depth(
@@ -1113,6 +1130,7 @@ def rasterize_pallas_depth(
     max_work: int = 2048,
     interpret: bool = False,
     win_w: int = 128,
+    tile_h: int = 0,
 ):
     """Depth-only variant of rasterize_pallas for light-view shadow
     rasters (the reference's depth-only TerrainPass run,
@@ -1125,12 +1143,14 @@ def rasterize_pallas_depth(
     tri_data = packed.tri_data
     I, C, T = tri_data.shape
     assert C == _R_TOTAL
-    n_cell = (tile // sub_h) * (tile // win_w)
+    if tile_h == 0:
+        tile_h = tile
+    n_cell = (tile_h // sub_h) * (tile // win_w)
     assert work.sub_rounds.shape[0] == n_cell
     smem_bytes = (9 + n_cell) * max_work * 4
     assert smem_bytes < 900_000
     pad_w = -(-width // tile) * tile
-    pad_h = -(-height // tile) * tile
+    pad_h = -(-height // tile_h) * tile_h
     P = sub_h * win_w
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1147,7 +1167,7 @@ def rasterize_pallas_depth(
         ],
         out_specs=[
             pl.BlockSpec(
-                (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
+                (tile_h, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
             ),
         ],
         scratch_shapes=[
@@ -1166,6 +1186,7 @@ def rasterize_pallas_depth(
         wire_px=0.0,
         win_w=win_w,
         depth_only=True,
+        tile_h=tile_h,
     )
     z = pl.pallas_call(
         kernel,
@@ -1182,7 +1203,7 @@ def rasterize_pallas_depth(
     jax.jit,
     static_argnames=(
         "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
-        "max_work", "interpret", "win_w",
+        "max_work", "interpret", "win_w", "tile_h",
     ),
 )
 def rasterize_pallas_zid(
@@ -1197,6 +1218,7 @@ def rasterize_pallas_zid(
     max_work: int = 2048,
     interpret: bool = False,
     win_w: int = 128,
+    tile_h: int = 0,
 ):
     """Two-phase raster PHASE 1: z + winner-id raster (no attribute
     machinery). Like rasterize_pallas_depth but resolving the depth
@@ -1211,12 +1233,14 @@ def rasterize_pallas_zid(
     tri_data = packed.tri_data
     I, C, T = tri_data.shape
     assert C == _R_TOTAL
-    n_cell = (tile // sub_h) * (tile // win_w)
+    if tile_h == 0:
+        tile_h = tile
+    n_cell = (tile_h // sub_h) * (tile // win_w)
     assert work.sub_rounds.shape[0] == n_cell
     smem_bytes = (9 + n_cell) * max_work * 4
     assert smem_bytes < 900_000
     pad_w = -(-width // tile) * tile
-    pad_h = -(-height // tile) * tile
+    pad_h = -(-height // tile_h) * tile_h
     P = sub_h * win_w
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1233,10 +1257,10 @@ def rasterize_pallas_zid(
         ],
         out_specs=[
             pl.BlockSpec(
-                (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
+                (tile_h, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
             ),
             pl.BlockSpec(
-                (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
+                (tile_h, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
             ),
         ],
         scratch_shapes=[
@@ -1257,6 +1281,7 @@ def rasterize_pallas_zid(
         win_w=win_w,
         depth_only=True,
         with_id=True,
+        tile_h=tile_h,
     )
     z, idb = pl.pallas_call(
         kernel,
@@ -1278,6 +1303,7 @@ def filter_work_to_winners(
     tile: int = 128,
     sub_h: int = 16,
     win_w: int = 128,
+    tile_h: int = 0,
 ) -> WorkList:
     """Two-phase raster: shrink the work list to (item, cell) pairs whose
     INSTANCE actually won a pixel of the cell in phase 1.
@@ -1297,8 +1323,10 @@ def filter_work_to_winners(
     (TerrainPass.cpp:222); here the ENTIRE attribute pipeline runs only
     where a triangle survived the depth test."""
     T = tris_per_inst
+    if tile_h == 0:
+        tile_h = tile
     tiles_x = -(-width // tile)
-    n_sub = tile // sub_h
+    n_sub = tile_h // sub_h
     n_win = tile // win_w
     SR = id_pad.shape[0] // sub_h
     XW = id_pad.shape[1] // win_w
@@ -1369,6 +1397,7 @@ def _resolve_kernel(
     compact_k: int,
     tris_per_inst: int,
     win_w: int,
+    tile_h: int = 0,
 ):
     """Two-phase raster PHASE 2: deferred attribute resolve.
 
@@ -1391,7 +1420,9 @@ def _resolve_kernel(
     ty = meta_ref[6, w]
     tx = meta_ref[7, w]
 
-    n_sub = tile // sub_h
+    if tile_h == 0:
+        tile_h = tile
+    n_sub = tile_h // sub_h
     n_win = tile // win_w
     n_cell = n_sub * n_win
     P = sub_h * win_w
@@ -1399,7 +1430,7 @@ def _resolve_kernel(
     T = tris_per_inst
 
     x0f = tx.astype(jnp.float32) * tile
-    y0f = ty.astype(jnp.float32) * tile
+    y0f = ty.astype(jnp.float32) * tile_h
 
     @pl.when(first == 1)
     def _init_tile():
@@ -1407,8 +1438,20 @@ def _resolve_kernel(
         # cell-major winner ids once per tile (an in-loop
         # slice+reshape variant measured the same — the resolve's cost
         # is the per-round (K, P) one-hot build + accumulate, not this
-        # relayout; see docs/PERFORMANCE.md round 5)
-        win_scr[:] = win_ref[:].reshape(n_cell, P)
+        # relayout; see docs/PERFORMANCE.md round 5). With x-windows the
+        # flat reshape interleaves columns across cells, so each
+        # (sub_h, win_w) block reshapes separately (static loop, once
+        # per tile).
+        if n_win == 1:
+            win_scr[:] = win_ref[:].reshape(n_cell, P)
+        else:
+            for s_ in range(n_sub):
+                for wi_ in range(n_win):
+                    cc = s_ * n_win + wi_
+                    win_scr[cc:cc + 1, :] = win_ref[
+                        s_ * sub_h:(s_ + 1) * sub_h,
+                        wi_ * win_w:(wi_ + 1) * win_w,
+                    ].reshape(1, P)
 
     item_valid_f = meta_ref[5, w]
 
@@ -1524,7 +1567,7 @@ def _resolve_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "tile", "sub_h", "compact_k",
-        "max_work", "interpret", "win_w",
+        "max_work", "interpret", "win_w", "tile_h",
     ),
 )
 def rasterize_pallas_resolve(
@@ -1539,6 +1582,7 @@ def rasterize_pallas_resolve(
     max_work: int = 2048,
     interpret: bool = False,
     win_w: int = 128,
+    tile_h: int = 0,
 ):
     """Two-phase raster PHASE 2 wrapper: returns attrs (8, pad_h, pad_w)
     f32 (uncropped), bit-identical to rasterize_pallas's attribute
@@ -1546,14 +1590,12 @@ def rasterize_pallas_resolve(
     tri_data = packed.tri_data
     I, C, T = tri_data.shape
     assert C == _R_TOTAL
-    assert win_w == tile, (
-        "the resolve kernel reads each cell's winner-id rows as a "
-        "dynamic-sublane slice of the tile, which needs full-width cells"
-    )
-    n_cell = (tile // sub_h) * (tile // win_w)
+    if tile_h == 0:
+        tile_h = tile
+    n_cell = (tile_h // sub_h) * (tile // win_w)
     assert work.sub_rounds.shape[0] == n_cell
     pad_w = -(-width // tile) * tile
-    pad_h = -(-height // tile) * tile
+    pad_h = -(-height // tile_h) * tile_h
     P = sub_h * win_w
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1568,12 +1610,12 @@ def rasterize_pallas_resolve(
                 (1, _C_ROWS, T), lambda w, meta, sr: (meta[1, w], 0, 0)
             ),
             pl.BlockSpec(
-                (tile, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
+                (tile_h, tile), lambda w, meta, sr: (meta[6, w], meta[7, w])
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (8, tile, tile),
+                (8, tile_h, tile),
                 lambda w, meta, sr: (0, meta[6, w], meta[7, w]),
             ),
         ],
@@ -1591,6 +1633,7 @@ def rasterize_pallas_resolve(
         compact_k=compact_k,
         tris_per_inst=T,
         win_w=win_w,
+        tile_h=tile_h,
     )
     attr = pl.pallas_call(
         kernel,
@@ -1607,7 +1650,7 @@ def rasterize_pallas_resolve(
     jax.jit,
     static_argnames=(
         "width", "height", "tile", "sub_h", "compact_k", "reverse_z",
-        "max_work", "interpret", "win_w", "resolve_sub_h",
+        "max_work", "interpret", "win_w", "resolve_sub_h", "tile_h",
     ),
 )
 def rasterize_pallas_two_phase(
@@ -1623,6 +1666,7 @@ def rasterize_pallas_two_phase(
     interpret: bool = False,
     win_w: int = 128,
     resolve_sub_h: int = 0,    # 0 = same as sub_h
+    tile_h: int = 0,
 ):
     """Two-phase rasterization (VERDICT r4 next #1): phase 1 rasters
     z + winner id at depth-kernel cost (no swap dots, no coefficient
@@ -1638,16 +1682,16 @@ def rasterize_pallas_two_phase(
     z_pad, id_pad = rasterize_pallas_zid(
         packed, work, width, height, tile=tile, sub_h=sub_h,
         compact_k=compact_k, reverse_z=reverse_z, max_work=max_work,
-        interpret=interpret, win_w=win_w,
+        interpret=interpret, win_w=win_w, tile_h=tile_h,
     )
     work2 = filter_work_to_winners(
         work, id_pad, T, width, height, tile=tile, sub_h=sub_h,
-        win_w=win_w,
+        win_w=win_w, tile_h=tile_h,
     )
     attr = rasterize_pallas_resolve(
         packed, work2, id_pad, width, height, tile=tile, sub_h=sub_h,
         compact_k=compact_k, max_work=max_work, interpret=interpret,
-        win_w=win_w,
+        win_w=win_w, tile_h=tile_h,
     )
     z = z_pad[:height, :width]
     idb = id_pad[:height, :width]
