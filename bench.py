@@ -254,6 +254,17 @@ def chain_fn(renderer, params, cams, n):
                     renderer.scene_transforms, params.max_height
                 )
             prepass = renderer._light_depth_pass(params, scene_wa=wa)
+        elif (renderer.config.shadow_mode == "horizon"
+              and renderer._scene_obj is not None):
+            # horizon modes with the boot scene: the mesh-occluder
+            # shadow field + shadow line are camera-independent and
+            # EXACT to cache (no quantization) — computed once per
+            # chain, matching App.run_flythrough's
+            # cached_horizon_prepass steady state (bit-identical
+            # frames, tests/test_shadow_cache.py)
+            prepass = renderer._horizon_fields(
+                params, renderer.scene_transforms
+            )
         else:
             prepass = None
 

@@ -322,3 +322,41 @@ def test_two_phase_full_frame_identical():
                                   np.asarray(o2.depth))
     np.testing.assert_array_equal(np.asarray(o1.prim_id),
                                   np.asarray(o2.prim_id))
+
+
+def test_rect_supertiles_match_oracle_and_two_phase():
+    """Rectangular supertiles (tile_h != tile): 256x64 tiles must be
+    oracle-exact and the two-phase path must stay bit-identical (the
+    resolve kernel stitches per-window winner rows when n_win > 1)."""
+    inst, vout, setup, vc = _scene([25.0, 8.0, 25.0], [-10.0, 2.0, -10.0])
+    T = SET.tris_per_instance
+    I = SET.max_instances
+    z_x, id_x, at_x = raster.rasterize_xla(setup, W, H, tile=(8, 128),
+                                           batch=64)
+    packed = raster_pallas.pack_tri_data(setup, I, T, tri_batch=64)
+    bbox, usable, dist = raster_pallas.instance_screen_bbox(
+        vout.world, vc["world_to_clip"], W, H, inst.valid
+    )
+    work = raster_pallas.build_work_list(
+        bbox, usable, W, H, tile=256, tile_h=64, tris_per_inst=T,
+        max_work=128, order_key=dist, packed=packed, compact_k=16,
+        win_w=128,
+    )
+    z_p, id_p, at_p, _ = raster_pallas.rasterize_pallas(
+        packed, work, W, H, tile=256, tile_h=64, sub_h=8, compact_k=16,
+        max_work=128, interpret=True, win_w=128,
+    )
+    np.testing.assert_array_equal(np.asarray(id_p), np.asarray(id_x))
+    cov = np.asarray(id_x) >= 0
+    assert cov.sum() > 1000
+    np.testing.assert_allclose(np.asarray(z_p)[cov], np.asarray(z_x)[cov],
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(at_p)[cov],
+                               np.asarray(at_x)[cov], atol=3e-4)
+    z2, i2, a2, _ = raster_pallas.rasterize_pallas_two_phase(
+        packed, work, W, H, tile=256, tile_h=64, sub_h=8, compact_k=16,
+        max_work=128, interpret=True, win_w=128,
+    )
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(id_p))
+    np.testing.assert_array_equal(np.asarray(z2), np.asarray(z_p))
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(at_p))

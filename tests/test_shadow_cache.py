@@ -166,3 +166,42 @@ def test_adaptive_cached_matches_inline():
     np.testing.assert_array_equal(np.asarray(out_a.ldr),
                                   np.asarray(out_b.ldr))
     np.testing.assert_array_equal(np.asarray(lum_a), np.asarray(lum_b))
+
+
+def test_horizon_prepass_bit_identical_and_invalidates():
+    """Horizon mode with a scene: the mesh-occluder shadow field +
+    shadow-line field are camera-independent, so cached frames must be
+    BIT-IDENTICAL to inline frames (no quantization — exact), and the
+    cache must re-key on sun changes (round 5: the inline per-frame
+    field cost 24 ms/frame through padded blocks before the compact
+    top-field + cache fix)."""
+    import dataclasses
+
+    from vrenderer_tpu.models import scene as scenemod
+
+    hm = hmod.procedural_heightmap(64, seed=3)
+    alb = hmod.procedural_albedo(hm)
+    cfg = dataclasses.replace(CFG, shadow_mode="horizon")
+    r = Renderer(cfg, hm, alb, raster_backend="xla",
+                 scene=scenemod.Scene.default())
+    params = FrameParams.default()._replace(max_height=jnp.float32(12.0))
+
+    p1 = r.cached_horizon_prepass(params)
+    p2 = r.cached_horizon_prepass(params)
+    assert p1[0] is p2[0], "same (sun, scene) must be a cache hit"
+    for i in range(2):
+        inline = r.render(_cam(i), params)
+        cached = r.render(_cam(i), params, shadow_prepass=p1)
+        np.testing.assert_array_equal(np.asarray(inline.ldr),
+                                      np.asarray(cached.ldr))
+        np.testing.assert_array_equal(np.asarray(inline.depth),
+                                      np.asarray(cached.depth))
+
+    moved = params._replace(
+        light_direction=jnp.asarray([0.5, -0.6, 0.1], jnp.float32)
+    )
+    p3 = r.cached_horizon_prepass(moved)
+    assert p3[0] is not p1[0], "sun change must re-key"
+    np.testing.assert_array_equal(
+        np.asarray(p3[0]), np.asarray(r.horizon_shadow_prepass(moved)[0])
+    )

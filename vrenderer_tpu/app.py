@@ -150,6 +150,14 @@ class App:
                     and cfg.shadow_eye_quant > 0.0)
             )
         )
+        # horizon mode with a scene: the mesh-occluder field + shadow
+        # line are camera-independent — cache them EXACTLY (bit-identical
+        # frames; invalidated on sun/max-height/scene changes)
+        use_horizon_cache = (
+            cfg.shadow_mode == "horizon"
+            and cfg.shadow_cache
+            and self.renderer._scene_obj is not None
+        )
         for i in range(num_frames):
             self.profiler.begin_frame()
             cam = Camera(
@@ -160,6 +168,11 @@ class App:
                 with self.profiler.scope("ShadowMap"):
                     prepass = self.renderer.cached_shadow_prepass(
                         self.params, camera_pos=cam.eye
+                    )
+            elif use_horizon_cache:
+                with self.profiler.scope("Terrain Shadow"):
+                    prepass = self.renderer.cached_horizon_prepass(
+                        self.params
                     )
             with self.profiler.scope("Render"):
                 if adapt:
@@ -236,14 +249,32 @@ class App:
             )
             shadow_field = full_shadow_phase(params.light_direction)
         else:
-            # "Terrain Shadow" (TPU-native horizon-map field)
-            timer.measure(
-                "Terrain Shadow",
-                lambda lx: shadow.horizon_shadow_field(
-                    r.heightmap, params.max_height, float(ts.world_size), lx
-                ),
-                params.light_direction,
-            )
+            # "Terrain Shadow" (TPU-native horizon-map field). With a
+            # scene the REAL frame also rasters the compact mesh-top
+            # occluder field and the shadow-line receiver field
+            # (renderer.py _frame_impl) — measure that variant so the
+            # counter matches the rendered frame's cost.
+            if r._scene_obj is not None:
+                def shadow_phase(lx):
+                    top = r._scene_top_world(r.scene_transforms)
+                    mt = shadow.mesh_top_field(
+                        top, jnp.ones((top.shape[0],), bool),
+                        float(ts.world_size), r.heightmap.shape[0],
+                    )
+                    sf, sl = shadow.horizon_shadow_field(
+                        r.heightmap, params.max_height,
+                        float(ts.world_size), lx, occluder_h=mt,
+                        with_shadow_line=True,
+                    )
+                    return sf + sl * 1e-30
+            else:
+                def shadow_phase(lx):
+                    return shadow.horizon_shadow_field(
+                        r.heightmap, params.max_height,
+                        float(ts.world_size), lx
+                    )
+            timer.measure("Terrain Shadow", shadow_phase,
+                          params.light_direction)
             shadow_field = shadow.horizon_shadow_field(
                 r.heightmap, params.max_height, float(ts.world_size),
                 params.light_direction,

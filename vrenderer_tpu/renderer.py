@@ -204,6 +204,7 @@ class Renderer:
             self._scene_obj = self._scene_obj_nrm = None
             self._scene_col = self._scene_block_inst = None
             self._scene_tri_idx = None
+            self._scene_top_obj = self._scene_top_vert_inst = None
             return
         from vrenderer_tpu.models import mesh as meshmod
 
@@ -227,6 +228,32 @@ class Renderer:
             [jnp.asarray(i.transform, jnp.float32)
              for i in scene.instances]
         )
+        # COMPACT triangle set for the horizon-mode mesh-occluder top
+        # field: the raster blocks above pad each mesh to tris_per_block
+        # (2048), and mesh_top_field renders through the DENSE XLA
+        # oracle, whose sweep cost scales with the PADDED count — a
+        # single 12-tri cube measured 24 ms/frame through the padded
+        # blocks vs ~1 ms compact (round 5). Tightly pack all real
+        # triangles with a per-vertex instance map instead.
+        import numpy as np
+
+        tops, top_inst = [], []
+        for k, inst in enumerate(scene.instances):
+            tp = np.asarray(inst.mesh.positions)[
+                np.asarray(inst.mesh.tris).reshape(-1)
+            ]                                         # (3T, 3)
+            tops.append(tp)
+            top_inst += [k] * tp.shape[0]
+        tot = np.concatenate(tops)
+        n_tri = tot.shape[0] // 3
+        pad = (-n_tri) % 64                           # oracle batch=64
+        if pad:
+            tot = np.concatenate(
+                [tot, np.zeros((3 * pad, 3), np.float32)]
+            )
+            top_inst += [0] * (3 * pad)               # degenerate, culled
+        self._scene_top_obj = jnp.asarray(tot, jnp.float32)  # (3Tc, 3)
+        self._scene_top_vert_inst = jnp.asarray(top_inst, jnp.int32)
 
     def _scene_blocks(self, scene_xf, max_height):
         """Apply traced per-instance transforms to the object-space scene
@@ -250,6 +277,81 @@ class Renderer:
              h01[..., None]], axis=-1,
         )
         return world, attrs
+
+    def _horizon_fields(self, params: FrameParams, scene_xf):
+        """Horizon-mode shadow field + shadow-line field with SCENE
+        OCCLUDERS (jittable): the compact mesh-top raster (NOT the
+        2048-padded raster blocks — the dense oracle's sweep pays per
+        padded triangle; a 12-tri cube measured 24 ms/frame padded vs
+        ~1.7 compact, round 5) feeds the horizon march as occluder
+        heights, and the shadow-line field lets meshes receive."""
+        from vrenderer_tpu.ops import shadow
+
+        world_size = float(self.config.terrain.world_size)
+        top_world = self._scene_top_world(scene_xf)
+        mesh_top = shadow.mesh_top_field(
+            top_world, jnp.ones((top_world.shape[0],), bool),
+            world_size, self.heightmap.shape[0],
+        )
+        return shadow.horizon_shadow_field(
+            self.heightmap, params.max_height, world_size,
+            params.light_direction, occluder_h=mesh_top,
+            with_shadow_line=True,
+        )
+
+    def horizon_shadow_prepass(self, params: Optional[FrameParams] = None):
+        """Standalone (shadow_field, shadow_line) for horizon mode with a
+        scene, for reuse via ``render(..., shadow_prepass=...)``. Both
+        fields depend only on (sun, max_height, scene transforms,
+        heightmap) — NEVER the camera — so one computation serves every
+        frame until those change, with BIT-IDENTICAL results (no
+        quantization; tests/test_shadow_cache.py). The reference's
+        analog work (scene DepthPass into the shadow map,
+        Renderer.cpp:371-379) re-renders per frame because GPU
+        rasterization is free there."""
+        cfg = self.config
+        assert cfg.shadow_mode == "horizon"
+        assert self._scene_obj is not None, (
+            "the scene-less horizon field is ~0.05 ms/frame; the prepass "
+            "exists for the mesh-occluder variant"
+        )
+        if params is None:
+            params = FrameParams.default(self.light)
+        if not hasattr(self, "_horizon_prepass_jit"):
+            self._horizon_prepass_jit = jax.jit(self._horizon_fields)
+        return self._horizon_prepass_jit(params, self.scene_transforms)
+
+    def cached_horizon_prepass(self, params: Optional[FrameParams] = None):
+        """``horizon_shadow_prepass`` memoized on (sun, max height, scene
+        transforms) — the horizon twin of cached_shadow_prepass; drive
+        loops call it every frame and recompute only on real changes."""
+        import numpy as np
+
+        if params is None:
+            params = FrameParams.default(self.light)
+        key = (
+            np.asarray(params.light_direction).tobytes(),
+            np.asarray(params.max_height).tobytes(),
+            None if self.scene_transforms is None
+            else np.asarray(self.scene_transforms).tobytes(),
+        )
+        cached = getattr(self, "_horizon_prepass_cache", None)
+        if cached is None or cached[0] != key:
+            self._horizon_prepass_cache = (
+                key, self.horizon_shadow_prepass(params)
+            )
+        return self._horizon_prepass_cache[1]
+
+    def _scene_top_world(self, scene_xf):
+        """World-space COMPACT scene triangles for mesh_top_field,
+        (1, 3*Tc, 3) — the un-padded twin of _scene_blocks (see
+        _prepare_scene; the dense oracle's sweep pays for padding)."""
+        M = scene_xf[self._scene_top_vert_inst]       # (3Tc, 4, 3)
+        world = (
+            jnp.einsum("vc,vcd->vd", self._scene_top_obj, M[:, :3, :])
+            + M[:, 3, :]
+        )
+        return world[None]
 
     # -- passes ------------------------------------------------------------
 
@@ -647,16 +749,19 @@ class Renderer:
                         depth_map, wtc_l, z_range, w.reshape(-1, 3)
                     ).reshape(w.shape[:2])
         elif scene_wa is not None:
-            mesh_top = shadow.mesh_top_field(
-                scene_wa[0],
-                jnp.ones((scene_wa[0].shape[0],), bool),
-                world_size, self.heightmap.shape[0],
-            )
-            shadow_field, sline = shadow.horizon_shadow_field(
-                self.heightmap, params.max_height, world_size,
-                params.light_direction, occluder_h=mesh_top,
-                with_shadow_line=True,
-            )
+            if shadow_prepass is not None:
+                # cached horizon fields (static-scene EXACT: the field
+                # and shadow line depend only on (sun, max_height, scene
+                # transforms, heightmap) — never the camera — so drive
+                # loops compute them once; bit-identical frames,
+                # tests/test_shadow_cache.py)
+                shadow_field, sline = shadow_prepass
+            else:
+                shadow_field, sline = self._horizon_fields(
+                    params,
+                    scene_xf if scene_xf is not None
+                    else self.scene_transforms,
+                )
 
             def mesh_shadow_fn(w):
                 u = texture.world_to_uv(w[..., 0], world_size)
