@@ -206,6 +206,10 @@ def shadow_factors_from_map(
 
     R = depth_map.shape[0]
     N = points.shape[0]
+    # the matmul sampler's cost is chunk-granular (each chunk pays a
+    # (chunk, R) x (R, R) pass): small receiver sets (a few scene-mesh
+    # vertices) must not pad up to the full 8192 default
+    chunk = min(chunk, max(512, -(-N // 512) * 512))
     pad = (-N) % chunk
     pts = jnp.pad(points, ((0, pad), (0, 0)))
     bias01 = bias_m / z_range

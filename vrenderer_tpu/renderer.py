@@ -238,12 +238,17 @@ class Renderer:
         import numpy as np
 
         tops, top_inst = [], []
+        nreal = []   # real (unpadded) triangle count per raster block
         for k, inst in enumerate(scene.instances):
             tp = np.asarray(inst.mesh.positions)[
                 np.asarray(inst.mesh.tris).reshape(-1)
             ]                                         # (3T, 3)
             tops.append(tp)
             top_inst += [k] * tp.shape[0]
+            T_m = inst.mesh.num_tris
+            nb = -(-T_m // tpb)
+            nreal += [min(tpb, T_m - j * tpb) for j in range(nb)]
+        self._scene_block_nreal = nreal
         tot = np.concatenate(tops)
         n_tri = tot.shape[0] // 3
         pad = (-n_tri) % 64                           # oracle batch=64
@@ -341,6 +346,27 @@ class Renderer:
                 key, self.horizon_shadow_prepass(params)
             )
         return self._horizon_prepass_cache[1]
+
+    def _mesh_receiver_factors(self, w, point_fn):
+        """Shadow factors for scene-mesh receiver vertices, computed on
+        the COMPACT real-vertex prefix of each raster block (static
+        slices — mesh_to_blocks pads trailing triangles, so real
+        vertices are a prefix) and padded back with 1.0 for the
+        degenerate tail. The per-point map sampler's cost is
+        chunk-granular: feeding it the 2048-padded block vertices cost
+        ~6 ms/frame for a 12-triangle cube (map-mode bench regression,
+        round 5); the compact set is ~100x smaller."""
+        B, V = w.shape[0], w.shape[1]
+        nreal = self._scene_block_nreal
+        parts = [w[b, : 3 * nreal[b]] for b in range(B)]
+        f = point_fn(jnp.concatenate(parts))
+        outs, o = [], 0
+        for b in range(B):
+            n = 3 * nreal[b]
+            outs.append(jnp.pad(f[o:o + n], (0, V - n),
+                                constant_values=1.0))
+            o += n
+        return jnp.stack(outs)
 
     def _scene_top_world(self, scene_xf):
         """World-space COMPACT scene triangles for mesh_top_field,
@@ -653,9 +679,11 @@ class Renderer:
             )
             if scene_wa is not None:
                 def mesh_shadow_fn(w):
-                    return shadow.shadow_factors_from_map(
-                        depth_map, wtc_l, z_range, w.reshape(-1, 3)
-                    ).reshape(w.shape[:2])
+                    return self._mesh_receiver_factors(
+                        w, lambda pts: shadow.shadow_factors_from_map(
+                            depth_map, wtc_l, z_range, pts
+                        )
+                    )
         elif cfg.shadow_mode == "map":
             # share selection + vertex geometry with the main pass
             # (VERDICT r3 #4): the light pass's whole-world selection is
@@ -745,9 +773,11 @@ class Renderer:
                 )
             if scene_wa is not None:
                 def mesh_shadow_fn(w):
-                    return shadow.shadow_factors_from_map(
-                        depth_map, wtc_l, z_range, w.reshape(-1, 3)
-                    ).reshape(w.shape[:2])
+                    return self._mesh_receiver_factors(
+                        w, lambda pts: shadow.shadow_factors_from_map(
+                            depth_map, wtc_l, z_range, pts
+                        )
+                    )
         elif scene_wa is not None:
             if shadow_prepass is not None:
                 # cached horizon fields (static-scene EXACT: the field
@@ -764,12 +794,13 @@ class Renderer:
                 )
 
             def mesh_shadow_fn(w):
-                u = texture.world_to_uv(w[..., 0], world_size)
-                v = texture.world_to_uv(w[..., 2], world_size)
-                s_at = texture.sample_points_matmul(
-                    sline, u.reshape(-1), v.reshape(-1)
-                ).reshape(w.shape[:2])
-                return shadow.shadow_line_factor(w[..., 1], s_at)
+                def factors(pts):
+                    u = texture.world_to_uv(pts[:, 0], world_size)
+                    v = texture.world_to_uv(pts[:, 2], world_size)
+                    s_at = texture.sample_points_matmul(sline, u, v)
+                    return shadow.shadow_line_factor(pts[:, 1], s_at)
+
+                return self._mesh_receiver_factors(w, factors)
         else:
             shadow_field = shadow.horizon_shadow_field(
                 self.heightmap, params.max_height, world_size,
